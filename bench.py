@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: 4-step LCM enhancement throughput, 256×256, bf16.
+
+Prints exactly one JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: 5000 images/sec/chip — the BASELINE.json north-star target for the
+small variant at 4 LCM steps on one TPU v5e chip (the reference itself only
+claims ~10 FPS end-to-end on a Snapdragon 888, ``README.md:18,22``).
+
+The whole 4-step sampler (UNet ×4 + scheduler renoise) runs as one jitted
+scanned XLA graph; batch size amortizes the small model over the MXU.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from cv_diffusion_tpu.config import diffusion_config
+from cv_diffusion_tpu.models.diffusion import create_model, enhance, init_model
+
+BASELINE_IMG_PER_SEC = 5000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="small")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    cfg = diffusion_config(args.variant, image_size=args.image_size,
+                           num_inference_steps=args.steps, dtype=args.dtype)
+    model, schedule = create_model(cfg)
+
+    # Keep every device op inside jit: eager dispatch is pathologically slow
+    # on remotely-compiled backends.
+    variables = jax.jit(lambda k: init_model(model, k))(jax.random.key(0))
+    jax.block_until_ready(variables)
+
+    make_low = jax.jit(lambda k: jax.random.uniform(
+        k, (args.batch, args.image_size, args.image_size, 3),
+        minval=-1.0, maxval=-0.5))
+    low = make_low(jax.random.key(1))
+
+    enh = jax.jit(lambda v, k, x: enhance(model, schedule, v, k, x,
+                                          num_inference_steps=args.steps))
+
+    # Warmup / compile
+    out = enh(variables, jax.random.key(2), low)
+    out.block_until_ready()
+    for i in range(args.warmup):
+        out = enh(variables, jax.random.key(3 + i), low)
+    out.block_until_ready()
+
+    # Timed
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = enh(variables, jax.random.key(100 + i), low)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    p50 = times[len(times) // 2]
+    img_per_sec = args.batch / p50
+
+    print(json.dumps({
+        "metric": f"{args.variant}_{args.steps}step_{args.image_size}px_enhance_throughput",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

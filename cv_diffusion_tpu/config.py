@@ -1,0 +1,306 @@
+"""Unified configuration system.
+
+The reference scatters configuration across four disconnected dataclasses,
+per-script argparse flags, and a ``configs/default.yaml`` that is never parsed
+(reference ``configs/default.yaml:1-107``; see also
+``src/models/efficient_unet.py:24-57``, ``src/training/trainer.py:36-83``).
+Here everything lives in one tree of frozen (hashable, jit-static-friendly)
+dataclasses with a YAML loader that is actually wired into the CLIs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _freeze(value):
+    if isinstance(value, list):
+        return tuple(_freeze(v) for v in value)
+    return value
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Architecture hyperparameters.
+
+    Field-for-field equivalent of the reference ``EfficientUNetConfig``
+    (``src/models/efficient_unet.py:24-57``), NHWC / TPU-first semantics.
+    """
+
+    in_channels: int = 3
+    out_channels: int = 3
+
+    base_channels: int = 32
+    channel_multipliers: Tuple[int, ...] = (1, 2, 4, 8)
+
+    attention_resolutions: Tuple[int, ...] = (16, 8)
+    num_attention_heads: int = 4
+    attention_head_dim: int = 32
+    use_linear_attention: bool = True
+
+    num_res_blocks: int = 2
+    expansion_ratio: int = 4
+    use_se: bool = True
+    se_ratio: float = 0.25
+
+    time_embed_dim: int = 128
+
+    dropout: float = 0.0
+    quantization_friendly: bool = True
+    image_size: int = 256
+
+    # TPU-specific knobs (no reference equivalent):
+    #   dtype: compute dtype for activations; params stay float32.
+    #   use_pallas: route linear attention / fused norm through Pallas kernels.
+    dtype: str = "float32"
+    use_pallas: bool = False
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        return tuple(self.base_channels * m for m in self.channel_multipliers)
+
+    def resolutions(self) -> Tuple[int, ...]:
+        """Feature-map resolution at each UNet level (pre-downsample)."""
+        res = []
+        r = self.image_size
+        for _ in self.channel_multipliers:
+            res.append(r)
+            r //= 2
+        return tuple(res)
+
+
+# Variant presets mirror the reference factory
+# (``src/models/efficient_unet.py:631-692``): tiny ~1M, small ~3M, base ~5M,
+# large ~10M parameters.
+UNET_VARIANTS: Dict[str, Dict[str, Any]] = {
+    "tiny": dict(base_channels=16, channel_multipliers=(1, 2, 4, 8),
+                 num_res_blocks=1, expansion_ratio=2, time_embed_dim=64,
+                 num_attention_heads=2),
+    "small": dict(base_channels=32, channel_multipliers=(1, 2, 4, 8),
+                  num_res_blocks=2, expansion_ratio=4, time_embed_dim=128,
+                  num_attention_heads=4),
+    "base": dict(base_channels=48, channel_multipliers=(1, 2, 4, 8),
+                 num_res_blocks=2, expansion_ratio=4, time_embed_dim=192,
+                 num_attention_heads=6),
+    "large": dict(base_channels=64, channel_multipliers=(1, 2, 4, 8),
+                  num_res_blocks=3, expansion_ratio=4, time_embed_dim=256,
+                  num_attention_heads=8),
+}
+
+
+def unet_config(variant: str = "small", image_size: int = 256, **overrides) -> UNetConfig:
+    """Build a UNetConfig from a named variant.
+
+    Equivalent of the reference ``create_efficient_unet``
+    (``src/models/efficient_unet.py:631-692``) minus the module instantiation.
+    """
+    if variant not in UNET_VARIANTS:
+        raise ValueError(
+            f"Unknown variant: {variant}. Choose from {sorted(UNET_VARIANTS)}")
+    kwargs: Dict[str, Any] = dict(UNET_VARIANTS[variant])
+    kwargs["image_size"] = image_size
+    kwargs.update(overrides)
+    return UNetConfig(**kwargs)
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """LCM scheduler configuration.
+
+    Mirrors the reference ``LCMScheduler.__init__`` registration
+    (``src/models/lcm_scheduler.py:53-66``).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"  # linear | scaled_linear | squaredcos_cap_v2
+    prediction_type: str = "epsilon"       # epsilon | v_prediction
+    rescale_betas_zero_snr: bool = False
+    num_inference_steps: int = 4
+    original_inference_steps: int = 50
+    # Deployment-path parity knob: the reference's NumPy loop clips the x0
+    # prediction to [-1, 1] (``src/export/android_pipeline.py:267``) while the
+    # torch scheduler does not (``src/models/lcm_scheduler.py:224-225``).  One
+    # implementation here; the flag selects which behavior.
+    clip_pred_x0: bool = False
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Top-level conditional-diffusion model configuration.
+
+    Mirrors the reference ``LowLightDiffusion.__init__`` arguments
+    (``src/models/low_light_diffusion.py:50-113``).
+    """
+
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    scheduler: SchedulerConfig = field(
+        default_factory=lambda: SchedulerConfig(rescale_betas_zero_snr=True))
+    image_size: int = 256
+    num_inference_steps: int = 4
+    condition_mode: str = "concat"  # concat | add
+
+
+def diffusion_config(unet_variant: str = "small", image_size: int = 256,
+                     num_inference_steps: int = 4,
+                     condition_mode: str = "concat",
+                     **unet_overrides) -> DiffusionConfig:
+    in_channels = 6 if condition_mode == "concat" else 3
+    return DiffusionConfig(
+        unet=unet_config(unet_variant, image_size=image_size,
+                         in_channels=in_channels, **unet_overrides),
+        image_size=image_size,
+        num_inference_steps=num_inference_steps,
+        condition_mode=condition_mode,
+    )
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / input-pipeline configuration
+    (reference ``src/training/dataset.py:41-60,335-355``)."""
+
+    train_root: str = "data/our485"
+    val_root: Optional[str] = "data/eval15"
+    low_dir: str = "low"
+    high_dir: str = "high"
+    image_size: int = 256
+    batch_size: int = 8
+    augment: bool = True
+    paired: bool = True
+    use_synthetic: bool = False
+    shuffle_seed: int = 0
+    # Synthetic degradation knobs (``src/training/dataset.py:256-258``).
+    gamma_range: Tuple[float, float] = (2.0, 5.0)
+    noise_level_range: Tuple[float, float] = (0.01, 0.05)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training configuration (reference ``TrainingConfig``,
+    ``src/training/trainer.py:36-83``)."""
+
+    unet_variant: str = "small"
+    image_size: int = 256
+    num_inference_steps: int = 4
+
+    epochs: int = 100
+    batch_size: int = 8
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    gradient_clip: float = 1.0
+
+    scheduler_type: str = "cosine"  # cosine | onecycle
+    warmup_epochs: int = 5
+    min_lr: float = 1e-6
+    # The reference computes warmup steps but never applies warmup
+    # (``src/training/trainer.py:159-168``).  We default to a real warmup and
+    # keep `faithful_no_warmup` to replicate the reference behavior exactly.
+    faithful_no_warmup: bool = False
+
+    # bf16 compute replaces CUDA AMP (``src/training/trainer.py:177-184``).
+    use_amp: bool = True
+
+    use_ema: bool = True
+    ema_decay: float = 0.9999
+
+    loss_type: str = "mse"  # mse | huber | l1
+
+    log_interval: int = 100
+    save_interval: int = 5
+    sample_interval: int = 1
+    num_samples: int = 4
+
+    output_dir: str = "outputs"
+    checkpoint_dir: str = "checkpoints"
+
+    use_wandb: bool = False
+    wandb_project: str = "low-light-diffusion-tpu"
+    wandb_run_name: Optional[str] = None
+
+    resume_from: Optional[str] = None
+
+    seed: int = 0
+    # Parallelism: number of data-parallel shards ("auto" = all local devices).
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Everything needed for one run: model + scheduler + data + training."""
+
+    model: DiffusionConfig = field(default_factory=DiffusionConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# ---------------------------------------------------------------------------
+# Serialization helpers (to/from dict, YAML, JSON)
+# ---------------------------------------------------------------------------
+
+def to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def _build(cls, data: Dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        value = data[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = _build(f.type, value)
+        else:
+            kwargs[f.name] = _freeze(value)
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "unet": UNetConfig,
+    "scheduler": SchedulerConfig,
+    "model": DiffusionConfig,
+    "data": DataConfig,
+    "train": TrainConfig,
+}
+
+
+def from_dict(cls, data: Dict[str, Any]):
+    """Reconstruct a (possibly nested) config dataclass from a plain dict."""
+    kwargs: Dict[str, Any] = {}
+    names = {f.name for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in names:
+            continue
+        if key in _NESTED and isinstance(value, dict):
+            kwargs[key] = from_dict(_NESTED[key], value)
+        else:
+            kwargs[key] = _freeze(value)
+    return cls(**kwargs)
+
+
+def load_yaml(path: str) -> ExperimentConfig:
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return from_dict(ExperimentConfig, data)
+
+
+def save_yaml(cfg, path: str) -> None:
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
+def to_json(cfg) -> str:
+    return json.dumps(to_dict(cfg), indent=2)
+
+
+def from_json(cls, text: str):
+    return from_dict(cls, json.loads(text))

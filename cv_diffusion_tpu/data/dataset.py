@@ -1,0 +1,233 @@
+"""Low-light datasets + batched device-feeding loader.
+
+Equivalent of the reference data layer (``src/training/dataset.py``):
+
+* :class:`LowLightDataset` — LOL-style paired ``root/{low,high}/`` loader with
+  the same directory-name probing, sorted file lists, count-mismatch
+  truncation, and verbose structure-dumping errors (``dataset.py:25-241``).
+* :class:`SyntheticLowLightDataset` — synthetic degradation of normal-light
+  images (``dataset.py:244-332``).
+* :func:`create_dataloaders` — epoch-shuffled, drop-last batch iterators
+  yielding NHWC float32 [-1, 1] numpy batches ready for ``device_put``
+  (``dataset.py:335-396``); worker processes are unnecessary — decode+augment
+  of LOL-sized data is far cheaper than a TPU train step, and the trainer
+  overlaps host batching with device compute via async dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from . import augment
+
+EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def _list_directory_structure(path: Path, max_depth: int = 2,
+                              current_depth: int = 0) -> str:
+    """Directory tree dump for error messages (``dataset.py:159-182``)."""
+    if current_depth >= max_depth:
+        return ""
+    lines: List[str] = []
+    try:
+        items = sorted(path.iterdir())
+        for item in items[:10]:
+            if item.is_dir():
+                lines.append(f"  {item.name}/")
+                if current_depth < max_depth - 1:
+                    sub = _list_directory_structure(item, max_depth,
+                                                    current_depth + 1)
+                    lines.extend(f"    {s}" for s in sub.split("\n") if s.strip())
+            else:
+                lines.append(f"  {item.name}")
+        if len(items) > 10:
+            lines.append(f"  ... ({len(items) - 10} more items)")
+    except Exception as e:  # pragma: no cover
+        lines.append(f"  (Error listing: {e})")
+    return "\n".join(lines)
+
+
+def _load_rgb(path: Path) -> np.ndarray:
+    return np.array(Image.open(path).convert("RGB"))
+
+
+class LowLightDataset:
+    """Paired low/normal-light dataset (``dataset.py:25-241``)."""
+
+    def __init__(self, root: str, low_dir: str = "low",
+                 high_dir: str = "high", image_size: int = 256,
+                 augment_data: bool = True,
+                 extensions: Tuple[str, ...] = EXTENSIONS,
+                 paired: bool = True, seed: int = 0):
+        self.root = Path(root)
+        self.image_size = image_size
+        self.augment = augment_data
+        self.paired = paired
+        self._rng = np.random.default_rng(seed)
+
+        if not self.root.exists():
+            raise FileNotFoundError(
+                f"Dataset root directory not found: {self.root}\n"
+                f"Expected structure: {self.root}/{{{low_dir},{high_dir}}}/*.png")
+
+        low_path = self.root / low_dir
+        high_path = self.root / high_dir
+        if not low_path.exists():
+            # LOL directory-name probing (``dataset.py:86-104``).
+            for alt in (low_dir, "low", "lowlight", "dark"):
+                if (self.root / alt).exists():
+                    low_path = self.root / alt
+                    break
+            for alt in (high_dir, "high", "normal", "bright"):
+                if (self.root / alt).exists():
+                    high_path = self.root / alt
+                    break
+        for name, p, tried in (("Low", low_path, ["low", "lowlight", "dark"]),
+                               ("High", high_path,
+                                ["high", "normal", "bright"])):
+            if not p.exists():
+                raise FileNotFoundError(
+                    f"{name}-light images directory not found: {p}\n"
+                    f"Tried: {[str(self.root / d) for d in tried]}\n"
+                    f"Current directory structure:\n"
+                    f"{_list_directory_structure(self.root)}")
+
+        self.low_images = sorted(
+            f for f in low_path.iterdir()
+            if f.is_file() and f.suffix.lower() in extensions)
+        self.high_images = sorted(
+            f for f in high_path.iterdir()
+            if f.is_file() and f.suffix.lower() in extensions)
+        if not self.low_images:
+            raise ValueError(f"No images found in {low_path}\n"
+                             f"Supported extensions: {extensions}")
+        if not self.high_images:
+            raise ValueError(f"No images found in {high_path}\n"
+                             f"Supported extensions: {extensions}")
+        if paired and len(self.low_images) != len(self.high_images):
+            n = min(len(self.low_images), len(self.high_images))
+            print(f"Warning: Image count mismatch: {len(self.low_images)} low "
+                  f"vs {len(self.high_images)} high; using minimum: {n}")
+            self.low_images = self.low_images[:n]
+            self.high_images = self.high_images[:n]
+
+    def __len__(self) -> int:
+        return len(self.low_images)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        low = _load_rgb(self.low_images[idx])
+        if self.paired:
+            high = _load_rgb(self.high_images[idx])
+        else:
+            hi_idx = int(self._rng.integers(len(self.high_images)))
+            high = _load_rgb(self.high_images[hi_idx])
+
+        if self.augment:
+            low, high = augment.paired_train_transform(
+                self._rng, low, high, self.image_size)
+        else:
+            low, high = augment.paired_eval_transform(
+                low, high, self.image_size)
+        return {"low_light": low, "normal_light": high,
+                "filename": self.low_images[idx].name}
+
+
+class SyntheticLowLightDataset:
+    """Synthetic degradation dataset (``dataset.py:244-332``)."""
+
+    def __init__(self, root: str, image_size: int = 256,
+                 gamma_range: Tuple[float, float] = (2.0, 5.0),
+                 noise_level_range: Tuple[float, float] = (0.01, 0.05),
+                 extensions: Tuple[str, ...] = (".png", ".jpg", ".jpeg"),
+                 seed: int = 0):
+        self.root = Path(root)
+        self.image_size = image_size
+        self.gamma_range = gamma_range
+        self.noise_level_range = noise_level_range
+        self._rng = np.random.default_rng(seed)
+        self.images = sorted(f for f in self.root.iterdir()
+                             if f.suffix.lower() in extensions)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        normal = _load_rgb(self.images[idx])
+        # base transform: RandomCrop + HFlip (``dataset.py:276-279``)
+        top, left = augment.random_crop_coords(
+            self._rng, normal.shape[0], normal.shape[1], self.image_size)
+        normal = augment.crop(normal, top, left, self.image_size)
+        if self._rng.random() < 0.5:
+            normal = normal[:, ::-1]
+        low = augment.synthetic_low_light(
+            self._rng, normal, self.gamma_range, self.noise_level_range)
+        return {"low_light": augment.normalize(low),
+                "normal_light": augment.normalize(normal),
+                "filename": self.images[idx].name}
+
+
+class DataLoader:
+    """Epoch iterator yielding stacked NHWC numpy batches.
+
+    Matches torch DataLoader semantics the trainer relies on: per-epoch
+    shuffle, ``drop_last`` for the train split, stable order for eval
+    (``dataset.py:371-394``).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                return
+            items = [self.dataset[int(i)] for i in idxs]
+            yield {
+                "low_light": np.stack([it["low_light"] for it in items]),
+                "normal_light": np.stack([it["normal_light"] for it in items]),
+                "filenames": [it["filename"] for it in items],
+            }
+
+
+def create_dataloaders(train_root: str, val_root: Optional[str] = None,
+                       batch_size: int = 8, image_size: int = 256,
+                       use_synthetic: bool = False, seed: int = 0,
+                       **dataset_kwargs
+                       ) -> Tuple[DataLoader, Optional[DataLoader]]:
+    """Train + optional val loaders (``dataset.py:335-396``)."""
+    if use_synthetic:
+        train_ds = SyntheticLowLightDataset(train_root, image_size=image_size,
+                                            seed=seed, **dataset_kwargs)
+    else:
+        train_ds = LowLightDataset(train_root, image_size=image_size,
+                                   augment_data=True, seed=seed,
+                                   **dataset_kwargs)
+    train_loader = DataLoader(train_ds, batch_size, shuffle=True,
+                              drop_last=True, seed=seed)
+    val_loader = None
+    if val_root is not None:
+        val_ds = LowLightDataset(val_root, image_size=image_size,
+                                 augment_data=False, seed=seed,
+                                 **dataset_kwargs)
+        val_loader = DataLoader(val_ds, batch_size, shuffle=False)
+    return train_loader, val_loader

@@ -1,0 +1,287 @@
+"""EfficientUNet building blocks — flax.linen, NHWC, TPU-first.
+
+Every block mirrors a reference module's math (citations inline) but is laid
+out for XLA/TPU: NHWC activations, explicit (1,1)-pair conv padding so strided
+convs tile exactly like the reference's ``padding=1``, float32 norm
+statistics, and compute-dtype control for bfloat16.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import linear_attention, standard_attention
+from ..ops.norms import gn_num_groups, group_norm, group_norm_film
+
+Dtype = Any
+
+PAD1 = ((1, 1), (1, 1))  # torch Conv2d(padding=1) equivalent for 3x3 kernels
+
+
+def activation(x: jnp.ndarray, quantization_friendly: bool) -> jnp.ndarray:
+    """ReLU6 when quantization friendly, SiLU otherwise
+    (``src/models/efficient_unet.py:94,167``)."""
+    if quantization_friendly:
+        return jnp.clip(x, 0.0, 6.0)
+    return jax.nn.silu(x)
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int,
+                       max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, ``[cos, sin]`` concat order
+    (``src/models/efficient_unet.py:60-76``).
+
+    Args:
+      t: [B] int or float timesteps.
+    Returns:
+      [B, dim] float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with torch-parity group count and float32 statistics."""
+
+    max_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, gn_num_groups(c, self.max_groups),
+                          self.eps)
+
+
+class TimeEmbedding(nn.Module):
+    """SinPosEmb(base_ch) → Dense(time_dim) → SiLU → Dense(time_dim)
+    (``src/models/efficient_unet.py:412-417``)."""
+
+    base_channels: int
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        emb = sinusoidal_pos_emb(t, self.base_channels)
+        emb = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="dense1")(emb)
+        emb = jax.nn.silu(emb)
+        emb = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="dense2")(emb)
+        return emb
+
+
+class SqueezeExcitation(nn.Module):
+    """Channel attention: mean-pool → 1×1 squeeze → act → 1×1 expand → sigmoid
+    (``src/models/efficient_unet.py:79-100``)."""
+
+    ratio: float = 0.25
+    quantization_friendly: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        squeezed = max(1, int(c * self.ratio))
+        # Global average pool over spatial dims → [B, C].
+        s = x.mean(axis=(1, 2))
+        s = nn.Dense(squeezed, dtype=self.dtype, name="fc1")(s)
+        s = activation(s, self.quantization_friendly)
+        s = nn.Dense(c, dtype=self.dtype, name="fc2")(s)
+        s = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        return x * s[:, None, None, :]
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise 3×3 + pointwise 1×1 (``src/models/efficient_unet.py:103-131``).
+
+    Present for API parity; like the reference, the UNet blocks inline their
+    own depthwise conv instead of using this.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        pad = self.kernel_size // 2
+        x = nn.Conv(c, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    feature_group_count=c, use_bias=self.use_bias,
+                    dtype=self.dtype, name="depthwise")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
+                    dtype=self.dtype, name="pointwise")(x)
+        return x
+
+
+class InvertedResidualBlock(nn.Module):
+    """MobileNetV3-style inverted residual with FiLM time conditioning.
+
+    Structure (``src/models/efficient_unet.py:134-236``):
+    GN → act → 1×1 expand → GN ⊕ FiLM(time) → act → 3×3 depthwise → SE →
+    1×1 project → dropout → residual (1×1 skip conv on channel change).
+    """
+
+    out_channels: int
+    expansion_ratio: int = 4
+    stride: int = 1
+    use_se: bool = True
+    se_ratio: float = 0.25
+    dropout: float = 0.0
+    quantization_friendly: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        hidden = int(in_channels * self.expansion_ratio)
+        use_residual = self.stride == 1 and in_channels == self.out_channels
+        residual = x
+
+        h = GroupNorm(name="norm1")(x)
+        h = activation(h, self.quantization_friendly)
+        h = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="expand")(h)
+
+        # FiLM: scale/shift from SiLU → Dense(2*hidden)
+        # (``efficient_unet.py:189-191,214-217``); fused with the second GN.
+        t = nn.Dense(hidden * 2, dtype=self.dtype, name="time_mlp")(
+            jax.nn.silu(time_emb))
+        film_scale, film_shift = jnp.split(t, 2, axis=-1)
+        gn_scale = self.param("norm2_scale", nn.initializers.ones,
+                              (hidden,), jnp.float32)
+        gn_bias = self.param("norm2_bias", nn.initializers.zeros,
+                             (hidden,), jnp.float32)
+        h = group_norm_film(h, gn_scale, gn_bias, film_scale, film_shift,
+                            gn_num_groups(hidden))
+
+        h = activation(h, self.quantization_friendly)
+        h = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
+                    padding=PAD1, feature_group_count=hidden, use_bias=False,
+                    dtype=self.dtype, name="depthwise")(h)
+
+        if self.use_se:
+            h = SqueezeExcitation(
+                ratio=self.se_ratio,
+                quantization_friendly=self.quantization_friendly,
+                dtype=self.dtype, name="se")(h)
+
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="project")(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        if not use_residual and in_channels != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="skip")(residual)
+            h = h + residual
+        elif use_residual:
+            h = h + residual
+        # Reference quirk kept: stride != 1 with in == out adds no residual
+        # (``efficient_unet.py:198-201,230-234``).
+        return h
+
+
+class LinearAttentionBlock(nn.Module):
+    """GN → 1×1 qkv → φ-linear attention → 1×1 out + GN → +residual
+    (``src/models/efficient_unet.py:239-308``)."""
+
+    num_heads: int = 4
+    dim_head: int = 32
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hgt, wid, c = x.shape
+        inner = self.num_heads * self.dim_head
+        residual = x
+
+        h = GroupNorm(name="norm")(x)
+        qkv = nn.Conv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="to_qkv")(h)
+        qkv = qkv.reshape(b, hgt * wid, 3, self.num_heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        out = linear_attention(q, k, v, use_pallas=self.use_pallas)
+
+        out = out.reshape(b, hgt, wid, inner)
+        out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="to_out")(out)
+        out = GroupNorm(name="out_norm")(out)
+        return out + residual
+
+
+class StandardAttentionBlock(nn.Module):
+    """GN → 1×1 qkv → softmax attention → 1×1 out → +residual
+    (``src/models/efficient_unet.py:311-357``)."""
+
+    num_heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hgt, wid, c = x.shape
+        inner = self.num_heads * self.dim_head
+        residual = x
+
+        h = GroupNorm(name="norm")(x)
+        qkv = nn.Conv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="to_qkv")(h)
+        qkv = qkv.reshape(b, hgt * wid, 3, self.num_heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        out = standard_attention(q, k, v, scale=self.dim_head ** -0.5)
+
+        out = out.reshape(b, hgt, wid, inner)
+        out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="to_out")(out)
+        return out + residual
+
+
+class Downsample(nn.Module):
+    """3×3 stride-2 conv (or 2×2 average pool)
+    (``src/models/efficient_unet.py:360-372``)."""
+
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_conv:
+            return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=PAD1,
+                           dtype=self.dtype, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class Upsample(nn.Module):
+    """Bilinear ×2 (half-pixel centers ≡ torch align_corners=False) + 3×3 conv
+    (``src/models/efficient_unet.py:375-384``)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        up = jax.image.resize(x.astype(jnp.float32), (b, h * 2, w * 2, c),
+                              method="bilinear").astype(x.dtype)
+        return nn.Conv(c, (3, 3), padding=PAD1, dtype=self.dtype,
+                       name="conv")(up)

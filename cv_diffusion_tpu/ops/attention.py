@@ -1,0 +1,89 @@
+"""Attention ops over flattened spatial tokens.
+
+Two attention forms, matching the reference's two modules:
+
+* Linear attention, O(N): ``out = φ(Q)·(φ(K)ᵀV) / (φ(Q)·Σφ(K) + 1e-6)`` with
+  ``φ = elu + 1`` (``src/models/efficient_unet.py:239-308``).  The two
+  contractions map straight onto the MXU; a fused Pallas kernel lives in
+  :mod:`cv_diffusion_tpu.ops.pallas_attention` and is selected with
+  ``use_pallas``.
+* Standard softmax attention, O(N²)
+  (``src/models/efficient_unet.py:311-357``).
+
+Token layout everywhere: ``[B, N, heads, dim]`` (NHWC-flattened; head axis
+kept inboard so the contraction dims stay on the 128-lane axis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def elu_plus_one(x: jnp.ndarray) -> jnp.ndarray:
+    """φ feature map for linear attention (``efficient_unet.py:289-290``)."""
+    return jax.nn.elu(x) + 1.0
+
+
+def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     eps: float = 1e-6, use_pallas: bool = False) -> jnp.ndarray:
+    """O(N) linear attention.
+
+    Args:
+      q, k, v: [B, N, H, D] (pre-feature-map; φ is applied inside).
+    Returns:
+      [B, N, H, D].
+    """
+    if use_pallas:
+        from .pallas_attention import linear_attention_pallas
+        return linear_attention_pallas(q, k, v, eps=eps)
+    return linear_attention_xla(q, k, v, eps=eps)
+
+
+def linear_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         eps: float = 1e-6) -> jnp.ndarray:
+    """Reference-parity XLA path (two einsum contractions + normalizer).
+
+    Matches ``src/models/efficient_unet.py:288-302`` numerically: φ(q), φ(k),
+    kv = Σ_n φ(k)ᵀv (a per-head D×D accumulator), normalizer q·Σφ(k).
+
+    Accumulations run in float32 regardless of input dtype.
+    """
+    in_dtype = q.dtype
+    qf = elu_plus_one(q.astype(jnp.float32))
+    kf = elu_plus_one(k.astype(jnp.float32))
+    vf = v.astype(jnp.float32)
+
+    # Σ_n φ(k): [B, H, D]
+    k_sum = kf.sum(axis=1)
+    # φ(K)ᵀ V: [B, H, D, D] — the shardable per-head accumulator (one psum
+    # over the token axis suffices under spatial sharding; see parallel/).
+    kv = jnp.einsum("bnhd,bnhe->bhde", kf, vf,
+                    preferred_element_type=jnp.float32)
+    # Numerator φ(Q)·(φ(K)ᵀV): [B, N, H, D]
+    num = jnp.einsum("bnhd,bhde->bnhe", qf, kv,
+                     preferred_element_type=jnp.float32)
+    # Normalizer φ(Q)·Σφ(K): [B, N, H]
+    den = jnp.einsum("bnhd,bhd->bnh", qf, k_sum,
+                     preferred_element_type=jnp.float32)
+    out = num / (den[..., None] + eps)
+    return out.astype(in_dtype)
+
+
+def standard_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       scale: float) -> jnp.ndarray:
+    """O(N²) softmax attention (``src/models/efficient_unet.py:349-353``).
+
+    Args:
+      q, k, v: [B, N, H, D]; ``scale`` = D**-0.5.
+    """
+    in_dtype = q.dtype
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, vf,
+                     preferred_element_type=jnp.float32)
+    return out.astype(in_dtype)

@@ -1,0 +1,79 @@
+"""Normalization ops (NHWC, float32 statistics).
+
+Functional group norm used by every block (reference uses
+``nn.GroupNorm(min(32, C), C)`` throughout, e.g.
+``src/models/efficient_unet.py:170-171,263,528``).  Statistics are always
+computed in float32 even when activations are bfloat16 — the TPU-correct way
+to run mixed precision.
+
+The reference's group-count rule ``min(32, C)`` is invalid whenever C is not
+divisible by 32 (torch raises; the reference's own "tiny" and "base" variants
+crash on construction because of the decoder's 48-channel concat).  We use the
+largest group count ≤ min(32, C) that divides C, which is identical for every
+configuration the reference can actually run.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gn_num_groups(channels: int, max_groups: int = 32) -> int:
+    """Largest group count ≤ min(max_groups, channels) dividing channels."""
+    g = min(max_groups, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """Group normalization over an NHWC (or N...C) tensor.
+
+    Matches ``torch.nn.GroupNorm`` semantics (eps 1e-5, per-group statistics
+    over all spatial positions and the group's channels).
+    """
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    assert c % num_groups == 0, (c, num_groups)
+    xf = x.astype(jnp.float32)
+    shape = x.shape[:-1] + (num_groups, c // num_groups)
+    xg = xf.reshape(shape)
+    # Reduce over every axis except batch and group.
+    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = xg.mean(axis=axes, keepdims=True)
+    var = xg.var(axis=axes, keepdims=True)
+    xg = (xg - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    xf = xg.reshape(x.shape)
+    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def group_norm_film(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                    film_scale: jnp.ndarray, film_shift: jnp.ndarray,
+                    num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """Fused GroupNorm + FiLM modulation: ``gn(x) * (1 + s) + b``.
+
+    The reference computes these as two separate stages
+    (``src/models/efficient_unet.py:212-217``); fusing keeps the normalized
+    tensor in registers/VMEM.  ``film_scale``/``film_shift`` are [B, C]
+    (per-sample, per-channel).
+    """
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    shape = x.shape[:-1] + (num_groups, c // num_groups)
+    xg = xf.reshape(shape)
+    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = xg.mean(axis=axes, keepdims=True)
+    var = xg.var(axis=axes, keepdims=True)
+    xg = (xg - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    xf = xg.reshape(x.shape)
+    xf = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # Broadcast [B, C] FiLM params over spatial dims.
+    b = x.shape[0]
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    fs = film_scale.astype(jnp.float32).reshape(bshape)
+    fb = film_shift.astype(jnp.float32).reshape(bshape)
+    out = xf * (1.0 + fs) + fb
+    return out.astype(orig_dtype)

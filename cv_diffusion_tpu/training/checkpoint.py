@@ -1,0 +1,107 @@
+"""Checkpoint save / restore via Orbax.
+
+TPU-native equivalent of the reference's ``torch.save`` checkpoint dict
+(``src/training/trainer.py:415-456``): the same logical contents (step/epoch,
+params, optimizer state, EMA shadow, best val loss, config) as an Orbax
+pytree directory plus a JSON sidecar for host metadata.  Cadence semantics
+(periodic, best, final; resume at epoch+1) live in the Trainer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+META_FILE = "trainer_meta.json"
+
+
+def save_checkpoint(path: str, state, *, epoch: int,
+                    best_val_loss: float, config_json: str) -> None:
+    """Save train state + host metadata to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    item = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    if state.ema_params is not None:
+        item["ema_params"] = state.ema_params
+    # PRNG keys serialize as raw key data.
+    item["rng"] = jax.random.key_data(state.rng)
+
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, item, force=True)
+    meta = {
+        "epoch": epoch,
+        "global_step": int(state.step),
+        "best_val_loss": float(best_val_loss),
+        "config": json.loads(config_json),
+    }
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def restore_checkpoint(path: str, state) -> Dict[str, Any]:
+    """Restore into the structure of ``state``; returns
+    ``{"state": TrainState, "epoch": int, "best_val_loss": float}``
+    (resume continues at epoch+1, matching ``trainer.py:437-456``)."""
+    path = os.path.abspath(path)
+    target = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "rng": jax.random.key_data(state.rng),
+    }
+    if state.ema_params is not None:
+        target["ema_params"] = state.ema_params
+
+    ckpt = ocp.PyTreeCheckpointer()
+    restored = ckpt.restore(path, item=target)
+    new_state = state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        ema_params=restored.get("ema_params", state.ema_params),
+        rng=jax.random.wrap_key_data(restored["rng"]),
+    )
+    meta_path = os.path.join(path, META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return {
+        "state": new_state,
+        "epoch": int(meta.get("epoch", 0)),
+        "best_val_loss": float(meta.get("best_val_loss", float("inf"))),
+    }
+
+
+def save_params(path: str, params, config_json: Optional[str] = None) -> None:
+    """Inference-only export: params + config (the reference's
+    ``model_state_dict``-only load path, ``scripts/inference.py:78-79``)."""
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, {"params": params}, force=True)
+    if config_json is not None:
+        with open(os.path.join(path, "model_config.json"), "w") as f:
+            f.write(config_json)
+
+
+def load_params(path: str, params_like):
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    restored = ckpt.restore(path, item={"params": params_like})
+    return restored["params"]
+
+
+def load_model_config(path: str) -> Optional[dict]:
+    p = os.path.join(os.path.abspath(path), "model_config.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None

@@ -1,0 +1,266 @@
+"""Training orchestration — host loop around the jitted, mesh-sharded step.
+
+Equivalent of the reference ``LowLightTrainer`` (``src/training/trainer.py:
+121-496``) with the same surface: epoch loop, per-epoch validation on EMA
+weights, periodic/best/final checkpoints, periodic sample grids, tqdm + optional
+W&B logging, checkpoint-resume continuing at epoch+1.
+
+Differences by design (all TPU-motivated):
+  * the train step is one donated jit program (forward/backward/clip/AdamW/
+    LR/EMA) instead of eager ops with a per-step ``loss.item()`` sync
+    (``trainer.py:325``) — host only syncs on the loss at log intervals;
+  * mixed precision is bf16 compute (no loss-scaler state: bf16 has fp32's
+    exponent range, so GradScaler has no TPU equivalent to carry);
+  * checkpoints are Orbax pytrees (see ``checkpoint.py``);
+  * PSNR/SSIM are computed during validation (the reference never computes
+    quality metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    def tqdm(x, **kwargs):
+        return x
+
+try:
+    import wandb
+    HAS_WANDB = True
+except ImportError:
+    HAS_WANDB = False
+    wandb = None
+
+from ..config import DiffusionConfig, TrainConfig, diffusion_config, to_json
+from ..models.diffusion import (LowLightDiffusion, create_model, enhance,
+                                denormalize_image)
+from ..models.scheduler import LCMSchedule
+from ..parallel.mesh import make_mesh, shard_batch
+from . import checkpoint as ckpt
+from .metrics import psnr, ssim
+from .train_state import (TrainState, create_train_state, make_eval_step,
+                          make_train_step)
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+
+def save_comparison_grid(low: np.ndarray, enhanced: np.ndarray,
+                         target: np.ndarray, path: str) -> None:
+    """[low | enhanced | target] rows → one PNG
+    (``src/training/trainer.py:391-413``).  Inputs NHWC in [-1, 1]."""
+    from PIL import Image
+
+    rows = []
+    for block in (low, enhanced, target):
+        block = np.asarray(denormalize_image(jnp.asarray(block)))
+        rows.append(np.concatenate(list(_to_u8(block)), axis=1))
+    grid = np.concatenate(rows, axis=0)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(grid).save(path)
+
+
+class Trainer:
+    """Host-side training driver."""
+
+    def __init__(self, model: LowLightDiffusion, schedule: LCMSchedule,
+                 train_loader, val_loader=None,
+                 config: Optional[TrainConfig] = None,
+                 mesh=None):
+        self.config = config or TrainConfig()
+        self.model = model
+        self.schedule = schedule
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh
+        if self.mesh is None and len(jax.devices()) > 1:
+            self.mesh = make_mesh(self.config.mesh_shape)
+
+        rng = jax.random.key(self.config.seed)
+        self.state = create_train_state(model, self.config, rng,
+                                        steps_per_epoch=len(train_loader))
+        self.train_step = make_train_step(model, schedule, self.config,
+                                          mesh=self.mesh)
+        self.eval_step = make_eval_step(model, schedule, self.config,
+                                        mesh=self.mesh)
+        self._enhance = jax.jit(
+            lambda params, k, x: enhance(model, schedule, {"params": params},
+                                         k, x, num_inference_steps=4))
+
+        self.epoch = 0
+        self.best_val_loss = float("inf")
+
+        self.output_dir = Path(self.config.output_dir)
+        self.checkpoint_dir = Path(self.config.checkpoint_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+        self.use_wandb = self.config.use_wandb
+        if self.use_wandb and not HAS_WANDB:
+            print("Warning: wandb not installed. Logging disabled.")
+            self.use_wandb = False
+        if self.use_wandb:
+            wandb.init(project=self.config.wandb_project,
+                       name=self.config.wandb_run_name,
+                       config=json.loads(to_json(self.config)))
+
+        if self.config.resume_from:
+            self.load_checkpoint(self.config.resume_from)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict[str, np.ndarray]):
+        arrays = {"low_light": batch["low_light"],
+                  "normal_light": batch["normal_light"]}
+        if self.mesh is not None:
+            return shard_batch(self.mesh, arrays)
+        return jax.tree_util.tree_map(jnp.asarray, arrays)
+
+    def train(self):
+        """Full training loop (``trainer.py:216-267``)."""
+        print(f"Starting training on {jax.devices()}")
+        for epoch in range(self.epoch, self.config.epochs):
+            self.epoch = epoch
+            train_loss = self.train_epoch()
+            val_loss = self.validate() if self.val_loader is not None else None
+
+            log = {"epoch": epoch, "train_loss": train_loss}
+            msg = f"Epoch {epoch}: train_loss={train_loss:.4f}"
+            if val_loss is not None:
+                log["val_loss"] = val_loss
+                msg += f", val_loss={val_loss:.4f}"
+            print(msg)
+            if self.use_wandb:
+                wandb.log(log)
+
+            if (epoch + 1) % self.config.save_interval == 0:
+                self.save_checkpoint(f"checkpoint_epoch_{epoch}")
+            if val_loss is not None and val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                self.save_checkpoint("best_model")
+            if (epoch + 1) % self.config.sample_interval == 0:
+                self.generate_samples(epoch)
+
+        self.save_checkpoint("final_model")
+        if self.use_wandb:
+            wandb.finish()
+
+    def train_epoch(self) -> float:
+        """One epoch (``trainer.py:269-338``); loss is synced to host only at
+        log intervals to keep the device pipeline full."""
+        total = 0.0
+        count = 0
+        pbar = tqdm(self.train_loader, desc=f"Epoch {self.epoch}")
+        pending = []
+        for batch_idx, batch in enumerate(pbar):
+            dev_batch = self._device_batch(batch)
+            self.state, metrics = self.train_step(self.state, dev_batch)
+            pending.append(metrics["loss"])
+            if batch_idx % self.config.log_interval == 0:
+                loss_val = float(metrics["loss"])
+                if hasattr(pbar, "set_postfix"):
+                    pbar.set_postfix({"loss": loss_val})
+                if self.use_wandb:
+                    wandb.log({"train_loss_step": loss_val,
+                               "global_step": int(self.state.step)})
+        for loss in pending:
+            total += float(loss)
+            count += 1
+        return total / max(1, count)
+
+    def _eval_params(self):
+        """EMA weights if enabled (``trainer.py:346-348``)."""
+        return (self.state.ema_params if self.state.ema_params is not None
+                else self.state.params)
+
+    def validate(self) -> float:
+        """Validation under EMA weights; loss is mse (faithful to
+        ``trainer.py:340-363``), plus PSNR/SSIM on x̂₀-free proxy pairs."""
+        params = self._eval_params()
+        rng = jax.random.key(12345)
+        total = 0.0
+        count = 0
+        for batch in tqdm(self.val_loader, desc="Validation"):
+            dev_batch = self._device_batch(batch)
+            rng, k = jax.random.split(rng)
+            total += float(self.eval_step(params, k, dev_batch))
+            count += 1
+        return total / max(1, count)
+
+    def evaluate_quality(self, num_inference_steps: int = 4,
+                         max_batches: Optional[int] = None) -> Dict[str, float]:
+        """Full-sampler PSNR/SSIM eval on the val set — the LOL-15 parity
+        metric the reference never computes (SURVEY §5/§6)."""
+        params = self._eval_params()
+        rng = jax.random.key(0)
+        psnrs, ssims = [], []
+        for i, batch in enumerate(self.val_loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            rng, k = jax.random.split(rng)
+            out = self._enhance(params, k, jnp.asarray(batch["low_light"]))
+            pred = denormalize_image(out)
+            target = denormalize_image(jnp.asarray(batch["normal_light"]))
+            psnrs.append(float(psnr(pred, target)))
+            ssims.append(float(ssim(pred, target)))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+
+    def generate_samples(self, epoch: int):
+        """Sample grid from the first val/train batch (``trainer.py:365-389``)."""
+        loader = self.val_loader or self.train_loader
+        batch = next(iter(loader))
+        n = self.config.num_samples
+        low = jnp.asarray(batch["low_light"][:n])
+        target = batch["normal_light"][:n]
+        out = self._enhance(self._eval_params(), jax.random.key(epoch), low)
+        path = self.output_dir / f"samples_epoch_{epoch}.png"
+        save_comparison_grid(np.asarray(low), np.asarray(out), target,
+                             str(path))
+        if self.use_wandb:
+            wandb.log({"samples": wandb.Image(str(path))})
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, name: str):
+        path = str(self.checkpoint_dir / name)
+        ckpt.save_checkpoint(path, self.state, epoch=self.epoch,
+                             best_val_loss=self.best_val_loss,
+                             config_json=to_json(self.config))
+        print(f"Saved checkpoint: {name}")
+
+    def load_checkpoint(self, path: str):
+        restored = ckpt.restore_checkpoint(path, self.state)
+        self.state = restored["state"]
+        self.epoch = restored["epoch"] + 1
+        self.best_val_loss = restored["best_val_loss"]
+        print(f"Loaded checkpoint from epoch {self.epoch - 1}")
+
+
+def train_model(train_data_dir: str, val_data_dir: Optional[str] = None,
+                config: Optional[TrainConfig] = None,
+                use_synthetic: bool = False) -> Trainer:
+    """Training entry point (``src/training/trainer.py:459-496``)."""
+    from ..data.dataset import create_dataloaders
+
+    config = config or TrainConfig()
+    train_loader, val_loader = create_dataloaders(
+        train_root=train_data_dir, val_root=val_data_dir,
+        batch_size=config.batch_size, image_size=config.image_size,
+        use_synthetic=use_synthetic, seed=config.seed)
+
+    dtype = "bfloat16" if config.use_amp else "float32"
+    model_cfg = diffusion_config(config.unet_variant, config.image_size,
+                                 config.num_inference_steps, dtype=dtype)
+    model, schedule = create_model(model_cfg)
+    trainer = Trainer(model, schedule, train_loader, val_loader, config)
+    trainer.train()
+    return trainer

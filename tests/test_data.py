@@ -1,0 +1,149 @@
+"""Data layer tests using tempdir fixtures of random PNGs."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cv_diffusion_tpu.data import (LowLightDataset, SyntheticLowLightDataset,
+                                   DataLoader, create_dataloaders, augment)
+
+
+@pytest.fixture()
+def lol_dir(tmp_path):
+    """LOL-style root/{low,high}/ with paired random images."""
+    rng = np.random.default_rng(0)
+    for sub in ("low", "high"):
+        (tmp_path / sub).mkdir()
+        for i in range(6):
+            arr = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / sub / f"img_{i}.png")
+    return tmp_path
+
+
+@pytest.fixture()
+def flat_dir(tmp_path):
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        arr = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"n_{i}.png")
+    return tmp_path
+
+
+def test_paired_dataset_basic(lol_dir):
+    ds = LowLightDataset(str(lol_dir), image_size=64)
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["low_light"].shape == (64, 64, 3)
+    assert item["normal_light"].shape == (64, 64, 3)
+    assert item["low_light"].dtype == np.float32
+    assert item["low_light"].min() >= -1.0 and item["low_light"].max() <= 1.0
+    assert item["filename"] == "img_0.png"
+
+
+def test_eval_transform_is_deterministic(lol_dir):
+    ds = LowLightDataset(str(lol_dir), image_size=64, augment_data=False)
+    a = ds[1]["low_light"]
+    b = ds[1]["low_light"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_paired_augmentation_applies_same_geometry(lol_dir):
+    # Feed identical low/high images: any paired geometric transform must
+    # keep them identical (albumentations additional_targets parity,
+    # ``src/training/dataset.py:215-218``).
+    import shutil
+    for f in (lol_dir / "low").iterdir():
+        shutil.copy(f, lol_dir / "high" / f.name)
+    ds = LowLightDataset(str(lol_dir), image_size=64, seed=3)
+    for i in range(6):
+        item = ds[i]
+        np.testing.assert_allclose(item["low_light"], item["normal_light"],
+                                   atol=1e-6)
+
+
+def test_dirname_probing(tmp_path):
+    rng = np.random.default_rng(0)
+    for sub in ("dark", "bright"):
+        (tmp_path / sub).mkdir()
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / sub / "a.png")
+    ds = LowLightDataset(str(tmp_path), image_size=32)
+    assert len(ds) == 1
+
+
+def test_missing_root_raises():
+    with pytest.raises(FileNotFoundError):
+        LowLightDataset("/nonexistent/path")
+
+
+def test_missing_subdir_error_lists_structure(tmp_path):
+    (tmp_path / "something_else").mkdir()
+    with pytest.raises(FileNotFoundError) as e:
+        LowLightDataset(str(tmp_path))
+    assert "something_else" in str(e.value)
+
+
+def test_count_mismatch_truncates(lol_dir):
+    extra = np.zeros((64, 64, 3), dtype=np.uint8)
+    Image.fromarray(extra).save(lol_dir / "low" / "zzz_extra.png")
+    ds = LowLightDataset(str(lol_dir), image_size=64)
+    assert len(ds) == 6
+
+
+def test_unpaired_mode(lol_dir):
+    ds = LowLightDataset(str(lol_dir), image_size=64, paired=False)
+    item = ds[0]
+    assert item["low_light"].shape == (64, 64, 3)
+
+
+def test_synthetic_dataset(flat_dir):
+    ds = SyntheticLowLightDataset(str(flat_dir), image_size=64)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["low_light"].shape == (64, 64, 3)
+    # degraded input should be darker on average than target
+    assert item["low_light"].mean() < item["normal_light"].mean()
+
+
+def test_dataloader_batching(lol_dir):
+    ds = LowLightDataset(str(lol_dir), image_size=64)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 1  # 6 // 4 with drop_last
+    assert batches[0]["low_light"].shape == (4, 64, 64, 3)
+    dl2 = DataLoader(ds, batch_size=4, drop_last=False)
+    batches = list(dl2)
+    assert len(batches) == 2
+    assert batches[1]["low_light"].shape == (2, 64, 64, 3)
+
+
+def test_create_dataloaders(lol_dir):
+    train, val = create_dataloaders(str(lol_dir), str(lol_dir), batch_size=2,
+                                    image_size=64)
+    assert len(train) == 3
+    b = next(iter(train))
+    assert b["low_light"].shape == (2, 64, 64, 3)
+    assert val is not None
+
+
+def test_synthetic_degradation_properties():
+    rng = np.random.default_rng(0)
+    img = rng.integers(100, 255, (64, 64, 3), dtype=np.uint8)
+    low = augment.synthetic_low_light(rng, img)
+    assert low.dtype == np.uint8
+    assert low.mean() < img.mean()
+
+
+def test_normalize_range():
+    img = np.array([[[0, 128, 255]]], dtype=np.uint8)
+    out = augment.normalize(img)
+    assert out[0, 0, 0] == pytest.approx(-1.0)
+    assert out[0, 0, 2] == pytest.approx(1.0)
+    assert abs(out[0, 0, 1]) < 0.01
+
+
+def test_rotation_shape_preserved():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)
+    out = augment.rotate(img, 13.0)
+    assert out.shape == img.shape

@@ -1,0 +1,200 @@
+"""Training layer tests: optimizer/schedule, EMA, train step, checkpointing."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cv_diffusion_tpu.config import TrainConfig, diffusion_config, to_json
+from cv_diffusion_tpu.models.diffusion import create_model, init_model
+from cv_diffusion_tpu.training import (TrainState, create_train_state,
+                                       make_train_step, make_eval_step,
+                                       make_lr_schedule, init_ema, update_ema,
+                                       psnr, ssim, checkpoint)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = diffusion_config("tiny", image_size=32)
+    model, schedule = create_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    return model, schedule, variables
+
+
+def _train_cfg(**kw):
+    defaults = dict(unet_variant="tiny", image_size=32, batch_size=2,
+                    epochs=2, warmup_epochs=1, use_ema=True)
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def _batch(key, b=2, s=32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "low_light": jax.random.uniform(k1, (b, s, s, 3), minval=-1, maxval=0),
+        "normal_light": jax.random.uniform(k2, (b, s, s, 3), minval=-1,
+                                           maxval=1),
+    }
+
+
+def test_lr_schedule_cosine_with_warmup():
+    cfg = _train_cfg(epochs=10, warmup_epochs=2, learning_rate=1e-3,
+                     min_lr=1e-5)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(0.0, abs=1e-9)
+    assert float(sched(20)) == pytest.approx(1e-3, rel=1e-5)
+    # end of schedule hits min_lr
+    assert float(sched(100)) == pytest.approx(1e-5, rel=1e-3)
+
+
+def test_lr_schedule_faithful_no_warmup():
+    # Reference behavior: cosine from step 0, warmup computed but unused
+    # (``src/training/trainer.py:159-168``).
+    cfg = _train_cfg(epochs=10, warmup_epochs=2, learning_rate=1e-3,
+                     min_lr=1e-5, faithful_no_warmup=True)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3, rel=1e-6)
+    # T_max = 80; cosine midpoint at 40
+    mid = (1e-3 + 1e-5) / 2
+    assert float(sched(40)) == pytest.approx(mid, rel=1e-3)
+
+
+def test_lr_schedule_onecycle():
+    cfg = _train_cfg(scheduler_type="onecycle", epochs=10, warmup_epochs=2,
+                     learning_rate=1e-3)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    peak_step = 20
+    assert float(sched(peak_step)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(0)) < 1e-3 / 10
+
+
+def test_ema_update_lerp():
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    ema = init_ema(params)
+    new_params = {"w": jnp.full((4,), 2.0), "b": jnp.ones((2,))}
+    ema = update_ema(ema, new_params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 1.0 * 0.9 + 2.0 * 0.1,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema["b"]), 0.1, rtol=1e-5)
+
+
+def test_ema_init_is_a_copy():
+    params = {"w": jnp.ones((4,))}
+    ema = init_ema(params)
+    assert ema["w"] is not params["w"]
+
+
+def test_train_step_updates_and_decreases_loss(tiny_setup):
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_train_step(model, schedule, cfg, donate=False)
+    batch = _batch(jax.random.key(1))
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["grad_norm"]))
+    assert int(state.step) == 3
+    # params actually moved
+    w0 = jax.tree_util.tree_leaves(variables["params"])[0]
+    w1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert float(jnp.abs(w0 - w1).max()) > 0
+    # EMA tracked but lags params
+    e1 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert float(jnp.abs(e1 - w1).max()) > 0
+
+
+def test_train_step_rng_advances(tiny_setup):
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_train_step(model, schedule, cfg, donate=False)
+    batch = _batch(jax.random.key(1))
+    s1, m1 = step(state, batch)
+    s2, m2 = step(s1, batch)
+    # same batch, different rng → different sampled timesteps → diff loss
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
+def test_eval_step_is_mse(tiny_setup):
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg(loss_type="huber")  # eval must still be mse
+    eval_step = make_eval_step(model, schedule, cfg)
+    batch = _batch(jax.random.key(1))
+    loss = eval_step(variables["params"], jax.random.key(2), batch)
+    assert np.isfinite(float(loss))
+
+
+def test_no_ema_config(tiny_setup):
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg(use_ema=False)
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    assert state.ema_params is None
+    step = make_train_step(model, schedule, cfg, donate=False)
+    state, metrics = step(state, _batch(jax.random.key(1)))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_train_step(model, schedule, cfg, donate=False)
+    state, _ = step(state, _batch(jax.random.key(1)))
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_checkpoint(path, state, epoch=3, best_val_loss=0.5,
+                               config_json=to_json(cfg))
+
+    fresh = create_train_state(model, cfg, jax.random.key(99),
+                               steps_per_epoch=10, variables=variables)
+    restored = checkpoint.restore_checkpoint(path, fresh)
+    assert restored["epoch"] == 3
+    assert restored["best_val_loss"] == 0.5
+    rs = restored["state"]
+    assert int(rs.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(rs.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(rs.ema_params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_load_params_only(tiny_setup, tmp_path):
+    model, schedule, variables = tiny_setup
+    path = str(tmp_path / "params")
+    checkpoint.save_params(path, variables["params"],
+                           config_json=to_json(model.config))
+    loaded = checkpoint.load_params(path, variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    meta = checkpoint.load_model_config(path)
+    assert meta["image_size"] == 32
+
+
+def test_psnr_golden():
+    a = jnp.zeros((1, 8, 8, 3))
+    b = jnp.full((1, 8, 8, 3), 0.1)
+    # mse = 0.01 → psnr = 20 dB
+    assert float(psnr(a, b)) == pytest.approx(20.0, rel=1e-4)
+    assert float(psnr(a, a)) > 100.0
+
+
+def test_ssim_properties():
+    x = jax.random.uniform(jax.random.key(0), (1, 32, 32, 3))
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+    noisy = jnp.clip(x + 0.3 * jax.random.normal(jax.random.key(1), x.shape),
+                     0, 1)
+    s = float(ssim(x, noisy))
+    assert 0.0 < s < 0.95
