@@ -1,0 +1,7 @@
+from .preprocess import PreProcessor, PostProcessor, PreprocessMeta
+from .quantization import (QuantizationConfig, quantize_model, quantize_bf16,
+                           quantize_int8, dequantize_int8,
+                           quantization_report, quantization_error)
+from .serving import (ServingConfig, ServingPipeline, make_sample_fn,
+                      export_stablehlo, load_stablehlo,
+                      create_serving_package, load_serving_package)

@@ -1,0 +1,88 @@
+"""Image pre/post-processing for serving.
+
+Equivalent of the reference ``PreProcessor`` / ``PostProcessor``
+(``src/export/android_pipeline.py:56-188``): aspect-preserving resize +
+zero-pad to S×S (or plain resize), normalize to [-1, 1]; inverse on the way
+out (denormalize, clip, un-pad, resize back to the original size).
+
+Layout is NHWC throughout (the reference converts to CHW for its runtimes;
+TPU wants channels-last).  cv2 does the host-side resizes, matching the
+reference's backend.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@dataclass
+class PreprocessMeta:
+    """Metadata needed to invert preprocessing
+    (``android_pipeline.py:123-138``)."""
+    original_size: Tuple[int, int]          # (h, w)
+    scale: float
+    pad: Tuple[int, int, int, int]          # top, bottom, left, right
+    keep_aspect: bool
+
+
+class PreProcessor:
+    """uint8 HWC image → float32 [1, S, S, 3] in [-1, 1] + metadata."""
+
+    def __init__(self, target_size: int = 256, keep_aspect: bool = True):
+        self.target_size = target_size
+        self.keep_aspect = keep_aspect
+
+    def __call__(self, image_u8: np.ndarray
+                 ) -> Tuple[np.ndarray, PreprocessMeta]:
+        if cv2 is None:
+            raise RuntimeError("cv2 required for serving preprocessing")
+        h, w = image_u8.shape[:2]
+        s = self.target_size
+        if self.keep_aspect:
+            scale = s / max(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            resized = cv2.resize(image_u8, (nw, nh),
+                                 interpolation=cv2.INTER_LINEAR)
+            pad_top = (s - nh) // 2
+            pad_bottom = s - nh - pad_top
+            pad_left = (s - nw) // 2
+            pad_right = s - nw - pad_left
+            canvas = np.zeros((s, s, 3), dtype=np.uint8)
+            canvas[pad_top:pad_top + nh, pad_left:pad_left + nw] = resized
+            meta = PreprocessMeta((h, w), scale,
+                                  (pad_top, pad_bottom, pad_left, pad_right),
+                                  True)
+        else:
+            canvas = cv2.resize(image_u8, (s, s),
+                                interpolation=cv2.INTER_LINEAR)
+            meta = PreprocessMeta((h, w), s / max(h, w), (0, 0, 0, 0), False)
+
+        # /127.5 − 1 (``android_pipeline.py:118``)
+        arr = canvas.astype(np.float32) / 127.5 - 1.0
+        return arr[None], meta
+
+
+class PostProcessor:
+    """float [1, S, S, 3] in [-1, 1] → uint8 HWC at the original size."""
+
+    def __call__(self, output: np.ndarray, meta: PreprocessMeta) -> np.ndarray:
+        if cv2 is None:
+            raise RuntimeError("cv2 required for serving postprocessing")
+        img = np.asarray(output)[0]
+        # ·127.5 + 127.5, clip (``android_pipeline.py:160-163``)
+        img = np.clip(img * 127.5 + 127.5, 0, 255).astype(np.uint8)
+        if meta.keep_aspect:
+            top, bottom, left, right = meta.pad
+            s = img.shape[0]
+            img = img[top:s - bottom if bottom else s,
+                      left:img.shape[1] - right if right else img.shape[1]]
+        h, w = meta.original_size
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)

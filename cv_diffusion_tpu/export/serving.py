@@ -1,0 +1,272 @@
+"""Serving pipeline + deployable artifact export.
+
+TPU-native replacement of the reference export/deployment stack:
+
+* :func:`export_stablehlo` / :func:`load_stablehlo` — serialize the **entire
+  jitted sampler** (UNet ×steps + scheduler, one graph) as a portable
+  StableHLO artifact via ``jax.export``.  This replaces ONNX export
+  (``src/export/onnx_export.py:64-175``) — and unlike the reference, the
+  artifact contains the full denoising loop, not just the UNet driven by host
+  code (the torch/NumPy scheduler duplication SURVEY §1 calls out).
+* :class:`ServingPipeline` — end-to-end uint8→uint8 enhancement with
+  aspect-preserving pre/post processing and per-stage benchmarking; equivalent
+  of ``AndroidInferencePipeline`` (``src/export/android_pipeline.py:280-457``).
+* :func:`create_serving_package` — params + model_config.json +
+  noise_schedule.npz (ᾱ table + timestep grid) + optional StableHLO graph;
+  equivalent of ``create_android_package``
+  (``src/export/android_pipeline.py:460-521``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (DiffusionConfig, SchedulerConfig, from_dict, to_json)
+from ..models.diffusion import LowLightDiffusion, enhance
+from ..models.scheduler import (LCMSchedule, lcm_timesteps, make_schedule)
+from ..training import checkpoint as ckpt
+from .preprocess import PostProcessor, PreProcessor
+from .quantization import dequantize_int8, quantize_model
+
+
+@dataclass
+class ServingConfig:
+    """Equivalent of ``AndroidPipelineConfig``
+    (``src/export/android_pipeline.py:25-53``)."""
+
+    image_size: int = 256
+    num_inference_steps: int = 4
+    batch_size: int = 1
+    dtype: str = "bfloat16"
+    keep_aspect: bool = True
+    seed: int = 0
+
+
+def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
+                   num_inference_steps: int) -> Callable:
+    """(params, rng_key_data, low_light) → enhanced; fully jittable."""
+
+    def fn(params, key_data, low_light):
+        rng = jax.random.wrap_key_data(key_data)
+        return enhance(model, schedule, {"params": params}, rng, low_light,
+                       num_inference_steps=num_inference_steps)
+
+    return fn
+
+
+def export_stablehlo(model: LowLightDiffusion, schedule: LCMSchedule,
+                     params, batch_size: int = 1,
+                     num_inference_steps: int = 4,
+                     path: Optional[str] = None) -> bytes:
+    """Serialize the jitted sampler to portable StableHLO bytes.
+
+    The TPU equivalent of ``export_to_onnx`` (``onnx_export.py:64-175``) —
+    verified re-loadable, like the reference's checker pass.
+    """
+    from jax import export as jexport
+
+    size = model.config.image_size
+    fn = make_sample_fn(model, schedule, num_inference_steps)
+    key_data = jax.random.key_data(jax.random.key(0))
+    args = (
+        jax.tree_util.tree_map(
+            lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params),
+        jax.ShapeDtypeStruct(key_data.shape, key_data.dtype),
+        jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32),
+    )
+    exported = jexport.export(jax.jit(fn))(*args)
+    blob = exported.serialize()
+    # Structural verification: must deserialize (parity with
+    # ``onnx.checker.check_model``, ``onnx_export.py:154-169``).
+    jexport.deserialize(blob)
+    if path is not None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_stablehlo(path: str):
+    """Load a serialized sampler; returns a callable
+    (params, key_data, low_light) → enhanced."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call
+
+
+def create_serving_package(output_dir: str, model: LowLightDiffusion,
+                           schedule: LCMSchedule, params,
+                           num_inference_steps: int = 4,
+                           quantize: str = "none",
+                           include_graph: bool = False,
+                           batch_size: int = 1) -> Dict[str, str]:
+    """Write a self-contained deployment package
+    (``create_android_package``, ``android_pipeline.py:460-521``):
+
+      params/                 Orbax params (optionally quantized)
+      model_config.json       architecture + scheduler + serving config
+      noise_schedule.npz      ᾱ table + timestep grid
+      sampler.stablehlo       (optional) the full compiled sampling graph
+    """
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    files = {}
+
+    qparams, codec = quantize_model(params, quantize)
+    ckpt.save_params(str(out / "params"), qparams)
+    files["params"] = str(out / "params")
+
+    cfg = {
+        "model": json.loads(to_json(model.config)),
+        "num_inference_steps": num_inference_steps,
+        "quantization": codec,
+        "input": [batch_size, model.config.image_size,
+                  model.config.image_size, 3],
+        "framework": "cv_diffusion_tpu",
+    }
+    with open(out / "model_config.json", "w") as f:
+        json.dump(cfg, f, indent=2)
+    files["config"] = str(out / "model_config.json")
+
+    ts = lcm_timesteps(num_inference_steps,
+                       schedule.config.num_train_timesteps,
+                       schedule.config.original_inference_steps)
+    np.savez(out / "noise_schedule.npz",
+             alphas_cumprod=np.asarray(schedule.alphas_cumprod),
+             timesteps=np.asarray(ts, dtype=np.int32))
+    files["schedule"] = str(out / "noise_schedule.npz")
+
+    if include_graph:
+        fp32_params = params if codec == "fp32" else (
+            dequantize_int8(qparams) if codec == "int8" else qparams)
+        export_stablehlo(model, schedule, fp32_params, batch_size,
+                         num_inference_steps,
+                         path=str(out / "sampler.stablehlo"))
+        files["graph"] = str(out / "sampler.stablehlo")
+    return files
+
+
+def load_serving_package(package_dir: str):
+    """Rebuild (model, schedule, params) from a package directory."""
+    out = Path(package_dir)
+    with open(out / "model_config.json") as f:
+        cfg = json.load(f)
+    from ..config import UNetConfig, DiffusionConfig
+
+    model_cfg = from_dict(DiffusionConfig, cfg["model"])
+    model = LowLightDiffusion(model_cfg)
+    schedule = make_schedule(model_cfg.scheduler)
+
+    # Restore with the right tree structure.
+    var_shapes = jax.eval_shape(
+        lambda k: model.init(
+            {"params": k},
+            jnp.zeros((1, model_cfg.image_size, model_cfg.image_size, 3),
+                      jnp.dtype(model_cfg.unet.dtype)),
+            jnp.zeros((1, model_cfg.image_size, model_cfg.image_size, 3),
+                      jnp.dtype(model_cfg.unet.dtype)),
+            jnp.zeros((1,), jnp.int32)), jax.random.key(0))
+    like = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)["params"]
+
+    codec = cfg.get("quantization", "fp32")
+    if codec == "int8":
+        # int8 packages store the quantized dict {values, scales, quantized}.
+        restored = ckpt.load_params(str(out / "params"))
+        params = dequantize_int8(restored)
+    else:
+        restored = ckpt.load_params(
+            str(out / "params"),
+            like if codec == "fp32" else jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.bfloat16), like))
+        params = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32),
+                                        restored)
+    return model, schedule, params, cfg
+
+
+class ServingPipeline:
+    """End-to-end uint8 → uint8 enhancement
+    (``AndroidInferencePipeline``, ``android_pipeline.py:280-457``)."""
+
+    def __init__(self, model: LowLightDiffusion, schedule: LCMSchedule,
+                 params, config: Optional[ServingConfig] = None):
+        self.config = config or ServingConfig(
+            image_size=model.config.image_size)
+        self.model = model
+        self.schedule = schedule
+        self.params = params
+        self.pre = PreProcessor(self.config.image_size,
+                                self.config.keep_aspect)
+        self.post = PostProcessor()
+        self._fn = jax.jit(make_sample_fn(model, schedule,
+                                          self.config.num_inference_steps))
+        self._counter = 0
+
+    @classmethod
+    def from_package(cls, package_dir: str,
+                     config: Optional[ServingConfig] = None
+                     ) -> "ServingPipeline":
+        model, schedule, params, _ = load_serving_package(package_dir)
+        return cls(model, schedule, params, config)
+
+    def __call__(self, image_u8: np.ndarray,
+                 seed: Optional[int] = None) -> np.ndarray:
+        """Enhance one uint8 HWC image (``android_pipeline.py:336-389``)."""
+        x, meta = self.pre(image_u8)
+        seed = self.config.seed if seed is None else seed
+        key_data = jax.random.key_data(jax.random.key(seed + self._counter))
+        self._counter += 1
+        out = self._fn(self.params, key_data, jnp.asarray(x))
+        return self.post(np.asarray(out, dtype=np.float32), meta)
+
+    def benchmark(self, num_runs: int = 20, warmup: int = 3
+                  ) -> Dict[str, float]:
+        """Per-stage latency benchmark
+        (``android_pipeline.py:391-457``): pre / device / post + totals."""
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+
+        for _ in range(warmup):
+            self(img)
+
+        pre_t, dev_t, post_t, tot_t = [], [], [], []
+        for i in range(num_runs):
+            t0 = time.perf_counter()
+            x, meta = self.pre(img)
+            t1 = time.perf_counter()
+            key_data = jax.random.key_data(jax.random.key(i))
+            out = self._fn(self.params, key_data, jnp.asarray(x))
+            out.block_until_ready()
+            t2 = time.perf_counter()
+            self.post(np.asarray(out, dtype=np.float32), meta)
+            t3 = time.perf_counter()
+            pre_t.append(t1 - t0)
+            dev_t.append(t2 - t1)
+            post_t.append(t3 - t2)
+            tot_t.append(t3 - t0)
+
+        arr = np.asarray(tot_t) * 1000
+        return {
+            "mean_ms": float(arr.mean()),
+            "std_ms": float(arr.std()),
+            "min_ms": float(arr.min()),
+            "max_ms": float(arr.max()),
+            "p50_ms": float(np.percentile(arr, 50)),
+            "preprocess_ms": float(np.mean(pre_t) * 1000),
+            "inference_ms": float(np.mean(dev_t) * 1000),
+            "per_step_ms": float(np.mean(dev_t) * 1000 /
+                                 self.config.num_inference_steps),
+            "postprocess_ms": float(np.mean(post_t) * 1000),
+            "fps": float(1000.0 / arr.mean()),
+        }

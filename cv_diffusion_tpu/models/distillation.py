@@ -1,0 +1,197 @@
+"""LCM consistency training / distillation.
+
+TPU-native equivalents of two reference components, both *wired into actual
+training* here (the reference leaves them standalone — SURVEY §2):
+
+* :class:`ConsistencyDistillation` — teacher→student consistency distillation
+  (``src/models/low_light_diffusion.py:284-408``): frozen teacher takes a
+  deterministic DDIM step t → t_next; the student's x̂₀ at t must match the
+  EMA-student's x̂₀ at t_next (Huber loss).
+
+  Behavioral note kept from the reference (and documented as a deviation from
+  the canonical LCM formulation): the timestep index *grows* (t_next > t), so
+  the EMA target is evaluated at the more-noised point
+  (``low_light_diffusion.py:350-351``).
+
+* :func:`consistency_loss` / :func:`huber_loss` — the ``LCMTrainer`` loss
+  utilities (``src/models/lcm_scheduler.py:396-418``).
+
+Everything is a pure function suitable for jit/pjit; the distillation step
+factory returns a donated, mesh-shardable train step like the base trainer's.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import TrainConfig
+from ..models.diffusion import LowLightDiffusion
+from ..models.scheduler import LCMSchedule, add_noise
+from ..training.ema import update_ema
+
+
+def consistency_loss(model_output: jnp.ndarray,
+                     target_output: jnp.ndarray) -> jnp.ndarray:
+    """MSE consistency loss (``lcm_scheduler.py:396-406``)."""
+    return jnp.mean((model_output.astype(jnp.float32) -
+                     target_output.astype(jnp.float32)) ** 2)
+
+
+def huber_loss(model_output: jnp.ndarray, target_output: jnp.ndarray,
+               delta: float = 1.0) -> jnp.ndarray:
+    """Huber loss, LCM-paper recommended (``lcm_scheduler.py:408-418``)."""
+    diff = jnp.abs(model_output.astype(jnp.float32) -
+                   target_output.astype(jnp.float32))
+    return jnp.mean(jnp.where(diff < delta, 0.5 * diff ** 2 / delta,
+                              diff - 0.5 * delta) * delta)
+
+
+def sample_timestep_pairs(rng: jax.Array, batch_size: int,
+                          num_train_timesteps: int, num_ddim_timesteps: int,
+                          num_inference_steps: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(t, t_next) = (idx·c+c−1, (idx+k)·c+c−1), idx ~ U[0, N−k)
+    (``low_light_diffusion.py:344-351``)."""
+    c = num_train_timesteps // num_ddim_timesteps
+    k = num_ddim_timesteps // num_inference_steps
+    idx = jax.random.randint(rng, (batch_size,), 0, num_ddim_timesteps - k)
+    t = idx * c + c - 1
+    t_next = (idx + k) * c + c - 1
+    return t, t_next
+
+
+def _bcast(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return v.reshape((-1,) + (1,) * (ndim - 1))
+
+
+def consistency_distillation_loss(
+        model: LowLightDiffusion, schedule: LCMSchedule,
+        teacher_params, student_params, ema_student_params,
+        rng: jax.Array, low_light: jnp.ndarray, normal_light: jnp.ndarray,
+        num_ddim_timesteps: int = 50, num_inference_steps: int = 4
+) -> jnp.ndarray:
+    """One consistency-distillation loss evaluation
+    (``low_light_diffusion.py:325-408``).
+
+    teacher ε at (x_t, t) → deterministic DDIM step → x_{t_next};
+    student x̂₀ at (x_t, t) vs stop-gradient EMA-student x̂₀ at
+    (x_{t_next}, t_next); Huber between the two.
+    """
+    batch = low_light.shape[0]
+    noise_rng, t_rng = jax.random.split(rng)
+    noise = jax.random.normal(noise_rng, normal_light.shape,
+                              dtype=normal_light.dtype)
+    t, t_next = sample_timestep_pairs(
+        t_rng, batch, schedule.config.num_train_timesteps,
+        num_ddim_timesteps, num_inference_steps)
+
+    x_t = add_noise(schedule, normal_light, noise, t)
+
+    acp = schedule.alphas_cumprod.astype(jnp.float32)
+    alpha_t = _bcast(acp[t], x_t.ndim)
+    alpha_t_next = _bcast(acp[t_next], x_t.ndim)
+
+    # Teacher DDIM step t → t_next (frozen; under stop_gradient by closure).
+    teacher_eps = model.apply({"params": teacher_params}, x_t, low_light, t,
+                              train=False).astype(jnp.float32)
+    x_tf = x_t.astype(jnp.float32)
+    x0_teacher = (x_tf - jnp.sqrt(1 - alpha_t) * teacher_eps) / jnp.sqrt(alpha_t)
+    x_t_next = (jnp.sqrt(alpha_t_next) * x0_teacher +
+                jnp.sqrt(1 - alpha_t_next) * teacher_eps)
+    x_t_next = jax.lax.stop_gradient(x_t_next).astype(x_t.dtype)
+
+    # Student prediction at (x_t, t).
+    student_eps = model.apply({"params": student_params}, x_t, low_light, t,
+                              train=True).astype(jnp.float32)
+    student_x0 = (x_tf - jnp.sqrt(1 - alpha_t) * student_eps) / jnp.sqrt(alpha_t)
+
+    # EMA-student target at (x_{t_next}, t_next) — no gradients.
+    target_eps = model.apply({"params": ema_student_params}, x_t_next,
+                             low_light, t_next, train=False)
+    target_eps = jax.lax.stop_gradient(target_eps).astype(jnp.float32)
+    target_x0 = ((x_t_next.astype(jnp.float32) -
+                  jnp.sqrt(1 - alpha_t_next) * target_eps) /
+                 jnp.sqrt(alpha_t_next))
+    target_x0 = jax.lax.stop_gradient(target_x0)
+
+    return huber_loss(student_x0, target_x0)
+
+
+class DistillationState(struct.PyTreeNode):
+    """Distillation train state: frozen teacher + student + EMA student."""
+
+    step: jnp.ndarray
+    teacher_params: Any
+    student_params: Any
+    ema_student_params: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def create_distillation_state(teacher_params, student_params,
+                              tx: optax.GradientTransformation,
+                              rng: jax.Array) -> DistillationState:
+    """Student defaults to a copy of the teacher when not given separately
+    (standard LCM distillation init)."""
+    copy = lambda t: jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), t)
+    return DistillationState(
+        step=jnp.zeros((), jnp.int32),
+        teacher_params=teacher_params,
+        student_params=student_params,
+        ema_student_params=copy(student_params),
+        opt_state=tx.init(student_params),
+        rng=rng,
+        tx=tx,
+    )
+
+
+def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
+                           ema_decay: float = 0.95,
+                           num_ddim_timesteps: int = 50,
+                           num_inference_steps: int = 4,
+                           mesh=None, donate: bool = True) -> Callable:
+    """Jitted distillation train step.
+
+    EMA decay default 0.95 follows the distillation components
+    (``lcm_scheduler.py:323``, ``low_light_diffusion.py:317``), not the
+    trainer's 0.9999.
+    """
+
+    def step_fn(state: DistillationState, batch: Dict[str, jnp.ndarray]
+                ) -> Tuple[DistillationState, Dict[str, jnp.ndarray]]:
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(student_params):
+            return consistency_distillation_loss(
+                model, schedule, state.teacher_params, student_params,
+                state.ema_student_params, step_rng, batch["low_light"],
+                batch["normal_light"], num_ddim_timesteps,
+                num_inference_steps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.student_params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.student_params)
+        new_student = optax.apply_updates(state.student_params, updates)
+        new_ema = update_ema(state.ema_student_params, new_student, ema_decay)
+        new_state = state.replace(step=state.step + 1,
+                                  student_params=new_student,
+                                  ema_student_params=new_ema,
+                                  opt_state=new_opt, rng=rng)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    from ..parallel.mesh import batch_sharding, replicated_sharding
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(repl, {"low_light": bsh,
+                                        "normal_light": bsh}),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())

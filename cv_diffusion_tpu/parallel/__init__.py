@@ -1,2 +1,2 @@
-from .mesh import (make_mesh, batch_sharding, replicated_sharding,
+from .mesh import (make_mesh, auto_mesh, batch_sharding, replicated_sharding,
                    shard_batch, DATA_AXIS, SPATIAL_AXIS)

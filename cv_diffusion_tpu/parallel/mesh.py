@@ -56,7 +56,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with batch sharding."""
+    """Device-put a host batch pytree with batch sharding.
+
+    Arrays whose batch dim doesn't divide the data axis (e.g. a short final
+    eval batch) are replicated instead — correctness over speed for stragglers.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    repl = replicated_sharding(mesh)
+
+    def put(x):
+        n = mesh.shape[DATA_AXIS]
+        if x.ndim >= 1 and x.shape[0] % max(1, n) == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def auto_mesh(batch_size: int) -> Optional[Mesh]:
+    """Largest data-parallel mesh compatible with ``batch_size``; ``None``
+    when only one device (or nothing divides)."""
+    import math
+
+    n = len(jax.devices())
+    d = math.gcd(n, batch_size)
+    if d <= 1:
+        return None
+    return make_mesh((d, 1), devices=jax.devices()[:d])

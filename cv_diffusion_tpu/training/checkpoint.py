@@ -92,10 +92,15 @@ def save_params(path: str, params, config_json: Optional[str] = None) -> None:
             f.write(config_json)
 
 
-def load_params(path: str, params_like):
+def load_params(path: str, params_like=None):
+    """Restore a params tree; with ``params_like=None`` restores the raw
+    saved structure (used for quantized packages whose leaf dtypes differ)."""
     path = os.path.abspath(path)
     ckpt = ocp.PyTreeCheckpointer()
-    restored = ckpt.restore(path, item={"params": params_like})
+    if params_like is None:
+        restored = ckpt.restore(path)
+    else:
+        restored = ckpt.restore(path, item={"params": params_like})
     return restored["params"]
 
 

@@ -169,12 +169,7 @@ def make_eval_step(model: LowLightDiffusion, schedule: LCMSchedule,
                             train=False)
         return diffusion_loss(out["noise_pred"], out["noise"], "mse")
 
-    if mesh is None:
-        return jax.jit(eval_fn)
-    from ..parallel.mesh import batch_sharding, replicated_sharding
-    repl = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
-    return jax.jit(eval_fn,
-                   in_shardings=(repl, repl,
-                                 {"low_light": bsh, "normal_light": bsh}),
-                   out_shardings=repl)
+    # No pinned shardings: eval batches can be ragged (no drop_last), so let
+    # sharding propagate from however ``shard_batch`` placed the inputs.
+    del mesh
+    return jax.jit(eval_fn)

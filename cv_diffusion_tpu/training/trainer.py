@@ -83,9 +83,16 @@ class Trainer:
         self.schedule = schedule
         self.train_loader = train_loader
         self.val_loader = val_loader
-        self.mesh = mesh
-        if self.mesh is None and len(jax.devices()) > 1:
-            self.mesh = make_mesh(self.config.mesh_shape)
+        # mesh: None = auto (largest DP mesh the batch divides), False = off.
+        if mesh is False:
+            self.mesh = None
+        elif mesh is None:
+            from ..parallel.mesh import auto_mesh
+            self.mesh = (make_mesh(self.config.mesh_shape)
+                         if self.config.mesh_shape is not None
+                         else auto_mesh(self.config.batch_size))
+        else:
+            self.mesh = mesh
 
         rng = jax.random.key(self.config.seed)
         self.state = create_train_state(model, self.config, rng,

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark CLI.
+
+Mirrors the reference ``scripts/benchmark.py:47-193``: latency stats
+(mean/std/min/max), per-step latency, 30-FPS real-time verdict — plus the TPU
+throughput sweep (images/sec/chip vs batch size) the reference lacks.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+REALTIME_FPS = 30.0
+
+
+def benchmark_sampler(args):
+    import jax
+    import jax.numpy as jnp
+    from cv_diffusion_tpu.config import diffusion_config
+    from cv_diffusion_tpu.models import create_model, init_model, enhance
+
+    cfg = diffusion_config(args.variant, image_size=args.image_size,
+                           num_inference_steps=args.num_steps,
+                           dtype=args.dtype)
+    model, schedule = create_model(cfg)
+    variables = jax.jit(lambda k: init_model(model, k))(jax.random.key(0))
+    jax.block_until_ready(variables)
+
+    results = []
+    for batch in args.batch_sizes:
+        low = jax.jit(lambda k: jax.random.uniform(
+            k, (batch, args.image_size, args.image_size, 3),
+            minval=-1.0, maxval=-0.5))(jax.random.key(1))
+        enh = jax.jit(lambda v, k, x: enhance(
+            model, schedule, v, k, x, num_inference_steps=args.num_steps))
+        out = enh(variables, jax.random.key(2), low)
+        out.block_until_ready()
+        times = []
+        for i in range(args.num_runs):
+            t0 = time.perf_counter()
+            out = enh(variables, jax.random.key(10 + i), low)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        arr = np.asarray(times) * 1000
+        results.append({
+            "batch": batch,
+            "mean_ms": float(arr.mean()),
+            "std_ms": float(arr.std()),
+            "min_ms": float(arr.min()),
+            "max_ms": float(arr.max()),
+            "per_step_ms": float(arr.mean() / args.num_steps),
+            "per_image_ms": float(arr.mean() / batch),
+            "img_per_sec": float(batch / (arr.mean() / 1000)),
+        })
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser(description="Benchmark the TPU sampler")
+    p.add_argument("--variant", type=str, default="small")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--batch_sizes", type=int, nargs="+", default=[1, 8, 32])
+    p.add_argument("--num_runs", type=int, default=10)
+    args = p.parse_args()
+
+    print(f"Benchmarking {args.variant} @ {args.image_size}px, "
+          f"{args.num_steps} LCM steps, {args.dtype}")
+    results = benchmark_sampler(args)
+
+    print(f"\n{'batch':>6} {'mean ms':>9} {'std':>7} {'min':>8} {'max':>8} "
+          f"{'ms/step':>8} {'ms/img':>8} {'img/s':>9}")
+    for r in results:
+        print(f"{r['batch']:>6} {r['mean_ms']:>9.2f} {r['std_ms']:>7.2f} "
+              f"{r['min_ms']:>8.2f} {r['max_ms']:>8.2f} "
+              f"{r['per_step_ms']:>8.2f} {r['per_image_ms']:>8.2f} "
+              f"{r['img_per_sec']:>9.1f}")
+
+    # 30-FPS real-time verdict on batch-1 latency
+    # (``scripts/benchmark.py:170-189``).
+    b1 = next((r for r in results if r["batch"] == 1), results[0])
+    budget_ms = 1000.0 / REALTIME_FPS
+    verdict = "REAL-TIME ✓" if b1["mean_ms"] <= budget_ms else "not real-time"
+    print(f"\nBatch-1 end-to-end: {b1['mean_ms']:.1f} ms vs "
+          f"{budget_ms:.1f} ms budget ({REALTIME_FPS:.0f} FPS): {verdict}")
+    if b1["mean_ms"] > budget_ms:
+        print("Suggestions: fewer LCM steps (--num_steps 2), smaller variant "
+              "(--variant tiny), int8 weights, or batch for throughput.")
+
+
+if __name__ == "__main__":
+    main()

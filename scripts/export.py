@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Export CLI: training checkpoint → deployable serving package.
+
+Mirrors the reference ``scripts/export.py:39-173``: load checkpoint, optional
+quantization (bf16 / int8), emit a package (params + config + schedule table
++ optional serialized StableHLO sampler graph), optional post-export benchmark.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description="Export model for serving")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Training checkpoint dir (orbax) or params dir")
+    p.add_argument("--output", type=str, default="export_package")
+    p.add_argument("--variant", type=str, default="small")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "bf16", "int8"])
+    p.add_argument("--graph", action="store_true",
+                   help="Also serialize the full sampler as StableHLO")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--use_ema", action="store_true",
+                   help="Export the EMA weights from a training checkpoint")
+    p.add_argument("--benchmark", action="store_true",
+                   help="Benchmark the exported package after writing it")
+    args = p.parse_args()
+
+    import jax
+    from cv_diffusion_tpu.config import diffusion_config
+    from cv_diffusion_tpu.models import create_model, init_model
+    from cv_diffusion_tpu.training import checkpoint as ckpt
+    from cv_diffusion_tpu.export import (create_serving_package,
+                                         ServingPipeline, ServingConfig,
+                                         quantization_report)
+
+    model_cfg = diffusion_config(args.variant, image_size=args.image_size,
+                                 num_inference_steps=args.num_steps)
+    model, schedule = create_model(model_cfg)
+    like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
+    like = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), like)["params"]
+
+    import os
+    params_dir = args.checkpoint
+    if os.path.isdir(os.path.join(args.checkpoint, "params")):
+        params_dir = os.path.join(args.checkpoint, "params")
+    try:
+        params = ckpt.load_params(params_dir, like)
+    except Exception:
+        raw = ckpt.load_params(params_dir)
+        key = "ema_params" if (args.use_ema and "ema_params" in raw) else None
+        params = raw[key] if key else raw
+
+    files = create_serving_package(
+        args.output, model, schedule, params,
+        num_inference_steps=args.num_steps, quantize=args.quantize,
+        include_graph=args.graph, batch_size=args.batch_size)
+    print("Exported package:")
+    for k, v in files.items():
+        print(f"  {k}: {v}")
+
+    if args.benchmark:
+        pipe = ServingPipeline.from_package(
+            args.output, ServingConfig(image_size=args.image_size,
+                                       num_inference_steps=args.num_steps))
+        stats = pipe.benchmark(num_runs=10)
+        print("\nBenchmark:")
+        for k, v in stats.items():
+            print(f"  {k}: {v:.2f}")
+
+
+if __name__ == "__main__":
+    main()

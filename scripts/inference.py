@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Inference CLI: enhance a single image or a folder.
+
+Mirrors the reference ``scripts/inference.py:30-281``: checkpoint or serving
+package in, PNG(s) out, per-image timing and folder FPS summary.  Backends:
+  * ``checkpoint`` — orbax training checkpoint (params [+ EMA]);
+  * ``package``    — serving package from scripts/export.py.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+from PIL import Image
+
+
+def load_pipeline(args):
+    from cv_diffusion_tpu.export import ServingPipeline, ServingConfig
+
+    cfg = ServingConfig(image_size=args.image_size,
+                        num_inference_steps=args.num_steps,
+                        keep_aspect=not args.no_pad, seed=args.seed)
+    if args.format == "package":
+        return ServingPipeline.from_package(args.model, cfg)
+
+    # training checkpoint → pipeline
+    import jax
+    from cv_diffusion_tpu.config import diffusion_config
+    from cv_diffusion_tpu.models import create_model, init_model
+    from cv_diffusion_tpu.training import checkpoint as ckpt
+    from cv_diffusion_tpu.export.serving import ServingPipeline as SP
+
+    model_cfg = diffusion_config(args.variant, image_size=args.image_size,
+                                 num_inference_steps=args.num_steps,
+                                 dtype=args.dtype)
+    model, schedule = create_model(model_cfg)
+    like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
+    like = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), like)["params"]
+    import os
+    params_dir = args.model
+    if os.path.isdir(os.path.join(args.model, "params")):
+        params_dir = os.path.join(args.model, "params")
+    try:
+        params = ckpt.load_params(params_dir, like)
+    except Exception:
+        # full training checkpoint: restore ema_params if present else params
+        raw = ckpt.load_params(params_dir)
+        params = raw
+    return SP(model, schedule, params, cfg)
+
+
+def enhance_file(pipe, in_path: Path, out_path: Path) -> float:
+    img = np.array(Image.open(in_path).convert("RGB"))
+    t0 = time.perf_counter()
+    out = pipe(img)
+    dt = time.perf_counter() - t0
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(out).save(out_path)
+    return dt
+
+
+def main():
+    p = argparse.ArgumentParser(description="Low-light enhancement inference")
+    p.add_argument("--input", type=str, required=True,
+                   help="Input image or directory")
+    p.add_argument("--output", type=str, default="enhanced",
+                   help="Output file or directory")
+    p.add_argument("--model", type=str, required=True,
+                   help="Checkpoint dir or serving package dir")
+    p.add_argument("--format", type=str, default="checkpoint",
+                   choices=["checkpoint", "package"])
+    p.add_argument("--variant", type=str, default="small")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--no_pad", action="store_true",
+                   help="Plain resize instead of aspect-preserving pad")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    pipe = load_pipeline(args)
+    in_path = Path(args.input)
+    out_path = Path(args.output)
+
+    if in_path.is_file():
+        if out_path.suffix == "":
+            out_path = out_path / in_path.name
+        dt = enhance_file(pipe, in_path, out_path)
+        print(f"{in_path.name}: {dt * 1000:.1f} ms → {out_path}")
+        return
+
+    exts = {".png", ".jpg", ".jpeg", ".bmp"}
+    files = sorted(f for f in in_path.iterdir() if f.suffix.lower() in exts)
+    if not files:
+        print(f"No images found in {in_path}")
+        sys.exit(1)
+    times = []
+    for f in files:
+        dt = enhance_file(pipe, f, out_path / f.name)
+        times.append(dt)
+        print(f"{f.name}: {dt * 1000:.1f} ms")
+    # skip the first (compile) for the FPS summary
+    steady = times[1:] or times
+    print(f"\n{len(files)} images | mean {np.mean(steady) * 1000:.1f} ms "
+          f"| {1.0 / np.mean(steady):.2f} FPS (steady-state)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Consistency-distillation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import optax
+
+from cv_diffusion_tpu.config import diffusion_config
+from cv_diffusion_tpu.models import (create_model, init_model,
+                                     create_distillation_state,
+                                     make_distillation_step,
+                                     consistency_loss, huber_loss,
+                                     sample_timestep_pairs)
+from cv_diffusion_tpu.models.distillation import consistency_distillation_loss
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = diffusion_config("tiny", image_size=32)
+    model, schedule = create_model(cfg)
+    teacher = init_model(model, jax.random.key(0))["params"]
+    student = init_model(model, jax.random.key(1))["params"]
+    return model, schedule, teacher, student
+
+
+def _batch(key, b=2, s=32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "low_light": jax.random.uniform(k1, (b, s, s, 3), minval=-1, maxval=0),
+        "normal_light": jax.random.uniform(k2, (b, s, s, 3), minval=-1,
+                                           maxval=1),
+    }
+
+
+def test_loss_utilities():
+    a = jnp.asarray([1.0, 2.0])
+    b = jnp.asarray([1.5, 0.0])
+    assert float(consistency_loss(a, b)) == pytest.approx(
+        (0.25 + 4.0) / 2, rel=1e-6)
+    # huber delta=1: 0.5·0.25 and (2 − 0.5)
+    assert float(huber_loss(a, b)) == pytest.approx(
+        (0.125 + 1.5) / 2, rel=1e-6)
+
+
+def test_timestep_pairs_grid():
+    t, t_next = sample_timestep_pairs(jax.random.key(0), 128,
+                                      num_train_timesteps=1000,
+                                      num_ddim_timesteps=50,
+                                      num_inference_steps=4)
+    t = np.asarray(t)
+    t_next = np.asarray(t_next)
+    assert ((t % 20) == 19).all()
+    np.testing.assert_array_equal(t_next - t, 240)  # k=12 grid steps × c=20
+    # t_next is the *more-noised* point — reference behavior kept
+    # (``low_light_diffusion.py:350-351``).
+    assert (t_next > t).all()
+
+
+def test_distillation_loss_finite(setup):
+    model, schedule, teacher, student = setup
+    batch = _batch(jax.random.key(2))
+    loss = consistency_distillation_loss(
+        model, schedule, teacher, student, student, jax.random.key(3),
+        batch["low_light"], batch["normal_light"])
+    assert np.isfinite(float(loss))
+    assert float(loss) >= 0
+
+
+def test_distillation_loss_zero_when_student_is_target_far_noised(setup):
+    """Student == EMA student with identical inputs isn't zero (different
+    timesteps), but loss must be small when teacher step is identity-ish."""
+    model, schedule, teacher, student = setup
+    batch = _batch(jax.random.key(2))
+    l1 = consistency_distillation_loss(
+        model, schedule, teacher, student, student, jax.random.key(3),
+        batch["low_light"], batch["normal_light"])
+    l2 = consistency_distillation_loss(
+        model, schedule, teacher, student, teacher, jax.random.key(3),
+        batch["low_light"], batch["normal_light"])
+    # changing the EMA target changes the loss — it is actually used
+    assert float(l1) != float(l2)
+
+
+def test_distillation_step_trains_student_only(setup):
+    model, schedule, teacher, student = setup
+    tx = optax.adamw(1e-4)
+    state = create_distillation_state(teacher, student, tx, jax.random.key(0))
+    step = make_distillation_step(model, schedule, donate=False)
+    batch = _batch(jax.random.key(1))
+
+    s1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["loss"]))
+    assert int(s1.step) == 1
+
+    # teacher frozen
+    for a, b in zip(jax.tree_util.tree_leaves(state.teacher_params),
+                    jax.tree_util.tree_leaves(s1.teacher_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # student moved
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(state.student_params),
+                        jax.tree_util.tree_leaves(s1.student_params)))
+    assert moved
+    # EMA student strictly between old and new student
+    e = jax.tree_util.tree_leaves(s1.ema_student_params)[0]
+    old = jax.tree_util.tree_leaves(state.student_params)[0]
+    new = jax.tree_util.tree_leaves(s1.student_params)[0]
+    assert float(jnp.abs(e - old).max()) > 0
+    assert float(jnp.abs(e - new).max()) > 0
+
+
+def test_ema_decay_095_semantics(setup):
+    """Distillation EMA decay is 0.95 (``lcm_scheduler.py:323``), far faster
+    than the trainer's 0.9999."""
+    model, schedule, teacher, student = setup
+    tx = optax.sgd(1.0)
+    state = create_distillation_state(teacher, student, tx, jax.random.key(0))
+    step = make_distillation_step(model, schedule, ema_decay=0.95,
+                                  donate=False)
+    s1, _ = step(state, _batch(jax.random.key(1)))
+    e = jax.tree_util.tree_leaves(s1.ema_student_params)[0]
+    old = jax.tree_util.tree_leaves(state.student_params)[0]
+    new = jax.tree_util.tree_leaves(s1.student_params)[0]
+    np.testing.assert_allclose(np.asarray(e),
+                               np.asarray(old * 0.95 + new * 0.05),
+                               rtol=1e-4, atol=1e-6)

@@ -1,0 +1,190 @@
+"""Export layer tests: pre/post processing, quantization, packaging, serving."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cv_diffusion_tpu.config import diffusion_config
+from cv_diffusion_tpu.models import create_model, init_model
+from cv_diffusion_tpu.export import (PreProcessor, PostProcessor,
+                                     quantize_bf16, quantize_int8,
+                                     dequantize_int8, quantize_model,
+                                     quantization_report, quantization_error,
+                                     create_serving_package,
+                                     load_serving_package, ServingPipeline,
+                                     ServingConfig, export_stablehlo,
+                                     load_stablehlo)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = diffusion_config("tiny", image_size=32, num_inference_steps=2)
+    model, schedule = create_model(cfg)
+    params = init_model(model, jax.random.key(0))["params"]
+    return model, schedule, params
+
+
+# ---------------------------------------------------------------- preprocess
+
+def test_preprocess_keep_aspect():
+    pre = PreProcessor(64, keep_aspect=True)
+    img = np.full((30, 60, 3), 200, dtype=np.uint8)
+    x, meta = pre(img)
+    assert x.shape == (1, 64, 64, 3)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    assert meta.original_size == (30, 60)
+    # padded rows are zeros → normalized to -1
+    assert x[0, 0, 0, 0] == pytest.approx(-1.0)
+    # center rows carry image content
+    assert x[0, 32, 32, 0] > 0.0
+
+
+def test_pre_post_roundtrip_shape():
+    pre = PreProcessor(64, keep_aspect=True)
+    post = PostProcessor()
+    img = np.random.default_rng(0).integers(0, 255, (48, 80, 3),
+                                            dtype=np.uint8)
+    x, meta = pre(img)
+    out = post(x, meta)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+
+
+def test_preprocess_plain_resize():
+    pre = PreProcessor(64, keep_aspect=False)
+    img = np.zeros((100, 50, 3), dtype=np.uint8)
+    x, meta = pre(img)
+    assert x.shape == (1, 64, 64, 3)
+    assert meta.pad == (0, 0, 0, 0)
+
+
+# --------------------------------------------------------------- quantization
+
+def test_quantize_bf16(tiny):
+    _, _, params = tiny
+    q = quantize_bf16(params)
+    leaves = jax.tree_util.tree_leaves(q)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves)
+    rep = quantization_report(params, q)
+    assert rep["compression"] == pytest.approx(2.0, rel=0.01)
+
+
+def test_quantize_int8_roundtrip(tiny):
+    _, _, params = tiny
+    q = quantize_int8(params)
+    deq = dequantize_int8(q)
+    err = quantization_error(params, deq)
+    assert err < 0.01  # ≤ half an int8 step relative to absmax
+    rep = quantization_report(params, q)
+    assert rep["compression"] > 2.5  # most weights int8, norms kept f32
+
+
+def test_quantize_int8_skips_norms(tiny):
+    _, _, params = tiny
+    q = quantize_int8(params)
+    flat = jax.tree_util.tree_flatten_with_path(q["quantized"])[0]
+    for path, is_q in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
+        if "norm" in name or "bias" in name:
+            assert not is_q, name
+
+
+def test_quantize_model_dispatch(tiny):
+    _, _, params = tiny
+    _, tag = quantize_model(params, "bf16")
+    assert tag == "bf16"
+    _, tag = quantize_model(params, "int8")
+    assert tag == "int8"
+    _, tag = quantize_model(params, "none")
+    assert tag == "fp32"
+    with pytest.raises(ValueError):
+        quantize_model(params, "int4")
+
+
+# ------------------------------------------------------------------ packaging
+
+def test_create_and_load_package(tiny, tmp_path):
+    model, schedule, params = tiny
+    files = create_serving_package(str(tmp_path / "pkg"), model, schedule,
+                                   params, num_inference_steps=2)
+    assert os.path.exists(files["config"])
+    sched_npz = np.load(files["schedule"])
+    np.testing.assert_array_equal(sched_npz["timesteps"], [519, 19])
+    assert sched_npz["alphas_cumprod"].shape == (1000,)
+
+    model2, schedule2, params2, cfg = load_serving_package(str(tmp_path / "pkg"))
+    assert cfg["quantization"] == "fp32"
+    assert model2.config.image_size == 32
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a, dtype=np.float32),
+                                   np.asarray(b), atol=1e-6)
+
+
+def test_int8_package_roundtrip(tiny, tmp_path):
+    model, schedule, params = tiny
+    create_serving_package(str(tmp_path / "pkg8"), model, schedule, params,
+                           num_inference_steps=2, quantize="int8")
+    _, _, params2, cfg = load_serving_package(str(tmp_path / "pkg8"))
+    assert cfg["quantization"] == "int8"
+    err = quantization_error(params, params2)
+    assert err < 0.01
+
+
+# -------------------------------------------------------------------- serving
+
+def test_serving_pipeline_end_to_end(tiny):
+    model, schedule, params = tiny
+    pipe = ServingPipeline(model, schedule, params,
+                           ServingConfig(image_size=32,
+                                         num_inference_steps=2))
+    img = np.random.default_rng(0).integers(0, 60, (40, 60, 3),
+                                            dtype=np.uint8)
+    out = pipe(img)
+    assert out.shape == (40, 60, 3)
+    assert out.dtype == np.uint8
+
+
+def test_serving_pipeline_from_package(tiny, tmp_path):
+    model, schedule, params = tiny
+    create_serving_package(str(tmp_path / "pkg"), model, schedule, params,
+                           num_inference_steps=2)
+    pipe = ServingPipeline.from_package(
+        str(tmp_path / "pkg"),
+        ServingConfig(image_size=32, num_inference_steps=2))
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    out = pipe(img)
+    assert out.shape == (32, 32, 3)
+
+
+def test_serving_benchmark_stats(tiny):
+    model, schedule, params = tiny
+    pipe = ServingPipeline(model, schedule, params,
+                           ServingConfig(image_size=32,
+                                         num_inference_steps=2))
+    stats = pipe.benchmark(num_runs=2, warmup=1)
+    for key in ("mean_ms", "std_ms", "min_ms", "max_ms", "p50_ms",
+                "preprocess_ms", "inference_ms", "per_step_ms",
+                "postprocess_ms", "fps"):
+        assert key in stats
+        assert np.isfinite(stats[key])
+
+
+# ------------------------------------------------------------------ stablehlo
+
+def test_stablehlo_export_and_reload(tiny, tmp_path):
+    model, schedule, params = tiny
+    path = str(tmp_path / "sampler.stablehlo")
+    blob = export_stablehlo(model, schedule, params, batch_size=1,
+                            num_inference_steps=2, path=path)
+    assert len(blob) > 1000
+    fn = load_stablehlo(path)
+    key_data = jax.random.key_data(jax.random.key(0))
+    low = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    out = fn(params, key_data, low)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()

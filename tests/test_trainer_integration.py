@@ -1,0 +1,93 @@
+"""End-to-end Trainer integration: tiny model, synthetic data, 2 epochs."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cv_diffusion_tpu.config import TrainConfig, diffusion_config
+from cv_diffusion_tpu.data import create_dataloaders
+from cv_diffusion_tpu.models import create_model
+from cv_diffusion_tpu.training import Trainer
+
+
+@pytest.fixture()
+def flat_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(8):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"n_{i}.png")
+    return d
+
+
+def test_trainer_end_to_end(flat_dir, tmp_path):
+    cfg = TrainConfig(
+        unet_variant="tiny", image_size=32, epochs=2, batch_size=4,
+        warmup_epochs=0, save_interval=1, sample_interval=1, use_ema=True,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    train_loader, _ = create_dataloaders(str(flat_dir), None, batch_size=4,
+                                         image_size=32, use_synthetic=True)
+    model, schedule = create_model(
+        diffusion_config("tiny", image_size=32))
+    trainer = Trainer(model, schedule, train_loader, None, cfg, mesh=None)
+    trainer.train()
+
+    # checkpoints written (periodic + final)
+    assert (tmp_path / "ckpt" / "checkpoint_epoch_0").exists()
+    assert (tmp_path / "ckpt" / "checkpoint_epoch_1").exists()
+    assert (tmp_path / "ckpt" / "final_model").exists()
+    # sample grids written every epoch
+    assert (tmp_path / "out" / "samples_epoch_0.png").exists()
+    assert (tmp_path / "out" / "samples_epoch_1.png").exists()
+    # grid is 3 rows (low/enhanced/target) × num_samples cols
+    grid = np.array(Image.open(tmp_path / "out" / "samples_epoch_0.png"))
+    assert grid.shape == (3 * 32, 4 * 32, 3)
+    assert int(trainer.state.step) == 2 * len(train_loader)
+
+
+def test_trainer_resume(flat_dir, tmp_path):
+    cfg = TrainConfig(
+        unet_variant="tiny", image_size=32, epochs=1, batch_size=4,
+        warmup_epochs=0, save_interval=1, sample_interval=100, use_ema=True,
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"))
+    train_loader, _ = create_dataloaders(str(flat_dir), None, batch_size=4,
+                                         image_size=32, use_synthetic=True)
+    model, schedule = create_model(diffusion_config("tiny", image_size=32))
+    t1 = Trainer(model, schedule, train_loader, None, cfg, mesh=None)
+    t1.train()
+    steps_after_1 = int(t1.state.step)
+
+    cfg2 = TrainConfig(
+        unet_variant="tiny", image_size=32, epochs=2, batch_size=4,
+        warmup_epochs=0, save_interval=100, sample_interval=100, use_ema=True,
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck2"),
+        resume_from=str(tmp_path / "ckpt" / "final_model"))
+    t2 = Trainer(model, schedule, train_loader, None, cfg2, mesh=None)
+    # resume continues at epoch + 1
+    assert t2.epoch == 1
+    assert int(t2.state.step) == steps_after_1
+    t2.train()
+    assert int(t2.state.step) == steps_after_1 + len(train_loader)
+
+
+def test_validation_and_quality_eval(flat_dir, tmp_path):
+    cfg = TrainConfig(
+        unet_variant="tiny", image_size=32, epochs=1, batch_size=4,
+        warmup_epochs=0, save_interval=100, sample_interval=100,
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"))
+    train_loader, _ = create_dataloaders(str(flat_dir), None, batch_size=4,
+                                         image_size=32, use_synthetic=True)
+    model, schedule = create_model(diffusion_config("tiny", image_size=32))
+    trainer = Trainer(model, schedule, train_loader, train_loader, cfg,
+                      mesh=None)
+    val = trainer.validate()
+    assert np.isfinite(val)
+    q = trainer.evaluate_quality(num_inference_steps=2, max_batches=1)
+    assert 0 < q["psnr"] < 60
+    assert -1 <= q["ssim"] <= 1
