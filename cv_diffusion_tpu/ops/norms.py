@@ -15,6 +15,7 @@ configuration the reference can actually run.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,25 +27,41 @@ def gn_num_groups(channels: int, max_groups: int = 32) -> int:
     return g
 
 
+def _group_stats(x: jnp.ndarray, num_groups: int, eps: float):
+    """Per-(batch, group) inverse-stddev and mean, computed in float32 without
+    materializing a float32 copy of ``x`` (the converts fuse into the
+    reduction and the consuming elementwise loop — critical for bf16 HBM
+    traffic: this model is bandwidth-bound).
+
+    Returns (mean, rstd) with shape [..., num_groups, 1] broadcastable against
+    x reshaped to groups.
+    """
+    c = x.shape[-1]
+    xg = x.reshape(x.shape[:-1] + (num_groups, c // num_groups))
+    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    # E[x], E[x²] in one fused pass over the bf16 input.
+    mean = jnp.mean(xg, axis=axes, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=axes,
+                     keepdims=True, dtype=jnp.float32)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    return xg, mean, rstd
+
+
 def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
     """Group normalization over an NHWC (or N...C) tensor.
 
     Matches ``torch.nn.GroupNorm`` semantics (eps 1e-5, per-group statistics
-    over all spatial positions and the group's channels).
+    over all spatial positions and the group's channels); statistics in
+    float32, storage dtype unchanged.
     """
     orig_dtype = x.dtype
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
-    xf = x.astype(jnp.float32)
-    shape = x.shape[:-1] + (num_groups, c // num_groups)
-    xg = xf.reshape(shape)
-    # Reduce over every axis except batch and group.
-    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = xg.mean(axis=axes, keepdims=True)
-    var = xg.var(axis=axes, keepdims=True)
-    xg = (xg - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
-    xf = xg.reshape(x.shape)
+    xg, mean, rstd = _group_stats(x, num_groups, eps)
+    xn = (xg.astype(jnp.float32) - mean) * rstd
+    xf = xn.reshape(x.shape)
     out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(orig_dtype)
 
@@ -61,14 +78,9 @@ def group_norm_film(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     """
     orig_dtype = x.dtype
     c = x.shape[-1]
-    xf = x.astype(jnp.float32)
-    shape = x.shape[:-1] + (num_groups, c // num_groups)
-    xg = xf.reshape(shape)
-    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = xg.mean(axis=axes, keepdims=True)
-    var = xg.var(axis=axes, keepdims=True)
-    xg = (xg - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
-    xf = xg.reshape(x.shape)
+    xg, mean, rstd = _group_stats(x, num_groups, eps)
+    xn = (xg.astype(jnp.float32) - mean) * rstd
+    xf = xn.reshape(x.shape)
     xf = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     # Broadcast [B, C] FiLM params over spatial dims.
     b = x.shape[0]

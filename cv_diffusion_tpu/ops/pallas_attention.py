@@ -1,0 +1,139 @@
+"""Fused linear-attention Pallas TPU kernel.
+
+Computes the reference's O(N) linear attention
+(``src/models/efficient_unet.py:288-302``)::
+
+    out = φ(Q)·(φ(K)ᵀV) / (φ(Q)·Σφ(K) + 1e-6),   φ = elu + 1
+
+in a single kernel per batch element, instead of XLA's chain of
+feature-map elementwise passes + einsums.
+
+Layout trick: all heads are packed into the 128-wide lane axis
+([N, H·D] with H·D == 128 for every variant: 4×32, 2×32 padded, …) and the
+per-head structure is enforced with a block-diagonal mask on the tiny
+[H·D, H·D] accumulator — the cross-head elements the matmul also produces are
+masked away.  This keeps both big contractions ([N,128]@[128,128]) at full
+MXU lane utilization; the 4× extra MXU work is free because the op is
+bandwidth-bound.
+
+Grid: ``(B, 2, N_tiles)`` — phase 0 accumulates ``kv = φ(K)ᵀV`` and
+``k_sum = Σφ(K)`` into VMEM scratch over all N tiles; phase 1 streams Q tiles
+and writes outputs.  Two reads of K/V+Q and one write — the minimum for this
+dataflow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _elu_plus_one(x):
+    # elu(x)+1 = exp(x) for x<0 else x+1; compute in f32.
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, kv_acc, ksum_acc, *, num_heads: int,
+            head_dim: int, eps: float):
+    phase = pl.program_id(1)
+    tile = pl.program_id(2)
+    d = num_heads * head_dim
+
+    @pl.when(jnp.logical_and(phase == 0, tile == 0))
+    def _init():
+        kv_acc[:] = jnp.zeros_like(kv_acc)
+        ksum_acc[:] = jnp.zeros_like(ksum_acc)
+
+    @pl.when(phase == 0)
+    def _accumulate():
+        k = _elu_plus_one(k_ref[0].astype(jnp.float32))
+        v = v_ref[0].astype(jnp.float32)
+        # φ(K)ᵀ V : [D, D] — includes cross-head blocks, masked in phase 1.
+        kv_acc[:] += jax.lax.dot_general(
+            k, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ksum_acc[:] += jnp.sum(k, axis=0, keepdims=True)
+
+    @pl.when(phase == 1)
+    def _apply():
+        q = _elu_plus_one(q_ref[0].astype(jnp.float32))
+        # Block-diagonal head mask over the [D, D] accumulator.
+        row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // head_dim
+        col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // head_dim
+        kv = jnp.where(row == col, kv_acc[:], 0.0)
+        num = jnp.dot(q, kv, preferred_element_type=jnp.float32)
+        # Per-head normalizer: q · Σφ(k) summed within each head's lanes.
+        # Masked matmul with the block-diagonal pattern of ksum.
+        ksum_diag = jnp.where(row == col,
+                              jnp.broadcast_to(ksum_acc[:], (d, d)), 0.0)
+        # den[n, h·D + j] = Σ_i q[n, h·D+i] · ksum[h·D+i]  (same for all j in
+        # head h) — realized as q @ diag-blocked ksumᵀ.
+        den = jnp.dot(q, ksum_diag.T, preferred_element_type=jnp.float32)
+        o_ref[0] = (num / (den + eps)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_n"))
+def linear_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            eps: float = 1e-6,
+                            tile_n: int = 1024) -> jnp.ndarray:
+    """Fused linear attention.
+
+    Args:
+      q, k, v: [B, N, H, D].  H·D must be ≤ 128 (all model variants: ≤128).
+    Returns:
+      [B, N, H, D], same dtype as q.
+    """
+    b, n, h, dh = q.shape
+    d = h * dh
+    if d > LANES:
+        raise ValueError(f"heads*dim={d} > {LANES} lanes unsupported")
+
+    qf = q.reshape(b, n, d)
+    kf = k.reshape(b, n, d)
+    vf = v.reshape(b, n, d)
+
+    # Pad N to a tile multiple; padded K rows would pollute kv/ksum, so use
+    # tile_n that divides or pad with zeros — φ(0) = 1 ≠ 0 pollutes k_sum!
+    # Instead pad K with -30 (φ(-30) ≈ 9e-14 ≈ 0) and V with 0.
+    tile = min(tile_n, n)
+    rem = n % tile
+    pad = (tile - rem) % tile
+    if pad:
+        qf = jnp.pad(qf, ((0, 0), (0, pad), (0, 0)))
+        kf = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)),
+                     constant_values=-30.0)
+        vf = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
+    n_pad = n + pad
+    n_tiles = n_pad // tile
+
+    grid = (b, 2, n_tiles)
+
+    def idx(bi, phase, ti):
+        return (bi, ti, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=h, head_dim=dh, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+    )(qf, kf, vf)
+
+    if pad:
+        out = out[:, :n]
+    return out.reshape(b, n, h, dh)

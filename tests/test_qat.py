@@ -1,0 +1,70 @@
+"""QAT (fake-quant) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cv_diffusion_tpu.config import TrainConfig, diffusion_config
+from cv_diffusion_tpu.export.qat import (fake_quant_tensor, fake_quant_params,
+                                         make_qat_train_step)
+from cv_diffusion_tpu.export.quantization import (quantize_int8,
+                                                  dequantize_int8)
+from cv_diffusion_tpu.models import create_model, init_model
+from cv_diffusion_tpu.training import create_train_state
+
+
+def test_fake_quant_matches_real_quant():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    fq = fake_quant_tensor(w)
+    q = quantize_int8({"w": w})
+    deq = dequantize_int8(q)["w"]
+    np.testing.assert_allclose(np.asarray(fq), np.asarray(deq), atol=1e-6)
+
+
+def test_fake_quant_gradient_is_straight_through():
+    w = jnp.asarray(np.linspace(-1, 1, 256, dtype=np.float32).reshape(16, 16))
+
+    def f(w):
+        return jnp.sum(fake_quant_tensor(w) ** 2)
+
+    g = jax.grad(f)(w)
+    # STE: grad ≈ 2·fq(w) · d(scale-chain)… dominated by identity path;
+    # must be finite and non-zero almost everywhere.
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_fake_quant_params_skips_norms():
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3, 16, 16))},
+        "norm1": {"scale": jnp.full((300,), 0.333)},
+    }
+    out = fake_quant_params(params)
+    # conv kernel quantized exactly representable (all ones)
+    np.testing.assert_allclose(np.asarray(out["conv"]["kernel"]), 1.0,
+                               rtol=1e-6)
+    # norm scale untouched bit-for-bit
+    assert out["norm1"]["scale"] is params["norm1"]["scale"]
+
+
+def test_qat_train_step_runs():
+    cfg = diffusion_config("tiny", image_size=32)
+    model, schedule = create_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    tcfg = TrainConfig(unet_variant="tiny", image_size=32, batch_size=2,
+                       epochs=1, use_ema=False)
+    state = create_train_state(model, tcfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_qat_train_step(model, schedule, tcfg, donate=False)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    batch = {
+        "low_light": jax.random.uniform(k1, (2, 32, 32, 3), minval=-1,
+                                        maxval=0),
+        "normal_light": jax.random.uniform(k2, (2, 32, 32, 3), minval=-1,
+                                           maxval=1),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
