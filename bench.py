@@ -33,7 +33,8 @@ def main():
     p.add_argument("--variant", default="small")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--steps", type=int, default=4)
-    p.add_argument("--batch", type=int, default=32)
+    # 128 ≈ HBM-optimal for the small variant at 256² (256 OOMs at 27G/16G).
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", default="bfloat16")

@@ -151,3 +151,94 @@ def quantization_error(original, dequantized) -> float:
             denom = max(1e-8, float(np.abs(of).max()))
             errs.append(float(np.abs(of - df).max()) / denom)
     return max(errs) if errs else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Static (activation) calibration + quantized-model benchmarking
+# ---------------------------------------------------------------------------
+
+def calibrate_activations(model, schedule, variables, batches,
+                          rng=None, max_batches: int = 100):
+    """Record per-module activation absmax scales over calibration batches.
+
+    TPU equivalent of the reference's eager-mode static PTQ calibration pass
+    (``INT8StaticQuantizer``, ``src/export/quantization.py:174-271``) — but
+    calibrated with the *real* conditioned input (noisy ⊕ low-light at sampled
+    timesteps); the reference calibrates with a 3-channel input although the
+    deployed model takes 6 (SURVEY §2 notes the bug).
+
+    Returns ``{module_path: absmax}`` suitable for an int8-activation serving
+    path; stored in serving packages as ``activation_scales.json``.
+    """
+    import jax
+
+    from ..models.scheduler import add_noise
+
+    rng = jax.random.key(0) if rng is None else rng
+    scales: Dict[str, float] = {}
+    for i, batch in enumerate(batches):
+        if i >= max_batches:
+            break
+        rng, t_rng, n_rng = jax.random.split(rng, 3)
+        low = jnp.asarray(batch["low_light"])
+        high = jnp.asarray(batch.get("normal_light", batch["low_light"]))
+        t = jax.random.randint(t_rng, (low.shape[0],), 0,
+                               schedule.config.num_train_timesteps)
+        noise = jax.random.normal(n_rng, high.shape, high.dtype)
+        noisy = add_noise(schedule, high, noise, t)
+        _, state = model.apply(variables, noisy, low, t, train=False,
+                               capture_intermediates=True,
+                               mutable=["intermediates"])
+        flat = jax.tree_util.tree_flatten_with_path(
+            state["intermediates"])[0]
+        for path, value in flat:
+            if not hasattr(value, "dtype"):
+                continue
+            name = _path_str(path)
+            m = float(jnp.max(jnp.abs(value.astype(jnp.float32))))
+            scales[name] = max(scales.get(name, 0.0), m)
+    return scales
+
+
+def benchmark_quantized_model(model, schedule, params,
+                              dtypes=("fp32", "bf16", "int8"),
+                              batch_size: int = 8, num_runs: int = 10,
+                              num_inference_steps: int = 4):
+    """Latency + size comparison across quantization modes.
+
+    Equivalent of the reference ``benchmark_quantized_model``
+    (``src/export/quantization.py:355-435``): per-mode mean latency, speedup
+    vs fp32, and parameter-memory compression.
+    """
+    import jax
+
+    from ..models.diffusion import enhance
+    from ..utils.profiling import timeit
+
+    size = model.config.image_size
+    low = jax.jit(lambda k: jax.random.uniform(
+        k, (batch_size, size, size, 3), minval=-1.0, maxval=-0.5))(
+        jax.random.key(0))
+
+    results = {}
+    base_ms = None
+    for dtype in dtypes:
+        qparams, codec = quantize_model(params, dtype)
+        run_params = (dequantize_int8(qparams) if codec == "int8"
+                      else qparams)
+        fn = jax.jit(lambda p, k, x: enhance(
+            model, schedule, {"params": p}, k, x,
+            num_inference_steps=num_inference_steps))
+        stats = timeit(fn, run_params, jax.random.key(1), low,
+                       warmup=2, iters=num_runs)
+        rep = quantization_report(params, qparams)
+        if base_ms is None:
+            base_ms = stats["mean_ms"]
+        results[dtype] = {
+            **stats,
+            "size_mb": rep["quantized_mb"],
+            "compression": rep["compression"],
+            "speedup_vs_fp32": base_ms / stats["mean_ms"],
+            "img_per_sec": batch_size / (stats["mean_ms"] / 1000),
+        }
+    return results

@@ -121,6 +121,9 @@ class EfficientUNet(nn.Module):
                     h, t_emb, train=train)
                 if current_res in cfg.attention_resolutions:
                     h = self._attention(f"dec_attn_{level}_{block_idx}")(h)
+            if return_features:
+                # per-decoder-level features (``efficient_unet.py:596-597``)
+                features.append(h)
             if level < len(channels) - 1:
                 current_res *= 2
 

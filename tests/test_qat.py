@@ -68,3 +68,19 @@ def test_qat_train_step_runs():
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_calibrate_activations():
+    from cv_diffusion_tpu.export import calibrate_activations
+    cfg = diffusion_config("tiny", image_size=32)
+    model, schedule = create_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batches = [{
+        "low_light": rng.uniform(-1, 0, (2, 32, 32, 3)).astype(np.float32),
+        "normal_light": rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32),
+    } for _ in range(2)]
+    scales = calibrate_activations(model, schedule, variables, batches)
+    assert len(scales) > 10          # one entry per module output
+    assert all(v >= 0 for v in scales.values())
+    assert any("mid_attn" in k for k in scales)
