@@ -87,3 +87,39 @@ def standard_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, vf,
                      preferred_element_type=jnp.float32)
     return out.astype(in_dtype)
+
+
+def linear_attention_sharded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             mesh, axis: str = "spatial",
+                             eps: float = 1e-6) -> jnp.ndarray:
+    """Token-sharded linear attention over a mesh axis.
+
+    The O(N) form needs only a single ``psum`` of the per-head [D, D] kv
+    accumulator and the [D] k-sum — the linear-attention analogue of ring
+    attention, nearly free over ICI (SURVEY §5).  Inputs are sharded on the
+    token axis ([B, N, H, D] with N split over ``axis``); outputs keep that
+    sharding.
+
+    Use for genuinely multi-chip spatial resolutions (512²–1024² images where
+    the flattened h·w token axis is sharded under pjit).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def local(q, k, v):
+        qf = elu_plus_one(q.astype(jnp.float32))
+        kf = elu_plus_one(k.astype(jnp.float32))
+        vf = v.astype(jnp.float32)
+        k_sum = jax.lax.psum(kf.sum(axis=1), axis)
+        kv = jax.lax.psum(
+            jnp.einsum("bnhd,bnhe->bhde", kf, vf,
+                       preferred_element_type=jnp.float32), axis)
+        num = jnp.einsum("bnhd,bhde->bnhe", qf, kv,
+                         preferred_element_type=jnp.float32)
+        den = jnp.einsum("bnhd,bhd->bnh", qf, k_sum,
+                         preferred_element_type=jnp.float32)
+        return (num / (den[..., None] + eps)).astype(q.dtype)
+
+    spec = P(None, axis, None, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec)(q, k, v)

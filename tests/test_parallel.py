@@ -115,3 +115,27 @@ def test_sharded_enhance(tiny_training):
     out = enh(variables_repl, jax.random.key(0), low_sharded)
     assert out.shape == (8, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_token_sharded_linear_attention():
+    """Sharding the token axis + psum of kv/ksum == unsharded result."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cv_diffusion_tpu.ops.attention import (linear_attention_sharded,
+                                                linear_attention_xla)
+
+    mesh = make_mesh((1, 8))
+    b, n, h, d = 2, 512, 4, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+
+    ref = linear_attention_xla(q, k, v)
+    spec = NamedSharding(mesh, P(None, "spatial"))
+    qs = jax.device_put(q, spec)
+    ks = jax.device_put(k, spec)
+    vs = jax.device_put(v, spec)
+    out = jax.jit(lambda a, b2, c: linear_attention_sharded(
+        a, b2, c, mesh=mesh))(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
