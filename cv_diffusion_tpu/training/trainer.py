@@ -271,3 +271,104 @@ def train_model(train_data_dir: str, val_data_dir: Optional[str] = None,
     trainer = Trainer(model, schedule, train_loader, val_loader, config)
     trainer.train()
     return trainer
+
+
+class DistillationTrainer:
+    """Host loop for LCM consistency distillation (teacher → student).
+
+    The reference ships the distillation loss unwired
+    (``src/models/low_light_diffusion.py:284-408``, SURVEY §2); here it is a
+    full training mode: frozen teacher, student + EMA student, jitted
+    distillation step, checkpoints of the student, sample grids from the EMA
+    student (the LCM-deployable weights).
+    """
+
+    def __init__(self, model, schedule, teacher_params, train_loader,
+                 val_loader=None, config: Optional[TrainConfig] = None,
+                 num_ddim_timesteps: int = 50, ema_decay: float = 0.95,
+                 mesh=None):
+        import optax
+
+        from ..models.distillation import (create_distillation_state,
+                                           make_distillation_step)
+        from .train_state import make_optimizer
+
+        self.config = config or TrainConfig()
+        self.model = model
+        self.schedule = schedule
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        if mesh is False:
+            self.mesh = None
+        elif mesh is None:
+            from ..parallel.mesh import auto_mesh
+            self.mesh = auto_mesh(self.config.batch_size)
+        else:
+            self.mesh = mesh
+
+        tx, self._lr_schedule = make_optimizer(self.config, len(train_loader))
+        student = jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True),
+                                         teacher_params)
+        self.state = create_distillation_state(
+            teacher_params, student, tx, jax.random.key(self.config.seed))
+        self.step_fn = make_distillation_step(
+            model, schedule, ema_decay=ema_decay,
+            num_ddim_timesteps=num_ddim_timesteps,
+            num_inference_steps=self.config.num_inference_steps,
+            mesh=self.mesh)
+        self._enhance = jax.jit(
+            lambda params, k, x: enhance(
+                model, schedule, {"params": params}, k, x,
+                num_inference_steps=self.config.num_inference_steps))
+
+        self.epoch = 0
+        self.output_dir = Path(self.config.output_dir)
+        self.checkpoint_dir = Path(self.config.checkpoint_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+    def _device_batch(self, batch):
+        arrays = {"low_light": batch["low_light"],
+                  "normal_light": batch["normal_light"]}
+        if self.mesh is not None:
+            return shard_batch(self.mesh, arrays)
+        return jax.tree_util.tree_map(jnp.asarray, arrays)
+
+    def train(self):
+        print(f"Distilling on {jax.devices()} "
+              f"({self.config.epochs} epochs)")
+        for epoch in range(self.epoch, self.config.epochs):
+            self.epoch = epoch
+            total, count = 0.0, 0
+            pbar = tqdm(self.train_loader, desc=f"Distill epoch {epoch}")
+            for batch in pbar:
+                self.state, metrics = self.step_fn(
+                    self.state, self._device_batch(batch))
+                total += float(metrics["loss"])
+                count += 1
+                if hasattr(pbar, "set_postfix"):
+                    pbar.set_postfix({"loss": total / count})
+            print(f"Distill epoch {epoch}: loss={total / max(1, count):.4f}")
+            if (epoch + 1) % self.config.save_interval == 0:
+                self.save_student(f"student_epoch_{epoch}")
+            if (epoch + 1) % self.config.sample_interval == 0:
+                self.generate_samples(epoch)
+        self.save_student("student_final")
+
+    def generate_samples(self, epoch: int):
+        loader = self.val_loader or self.train_loader
+        batch = next(iter(loader))
+        n = self.config.num_samples
+        low = jnp.asarray(batch["low_light"][:n])
+        out = self._enhance(self.state.ema_student_params,
+                            jax.random.key(epoch), low)
+        save_comparison_grid(np.asarray(low), np.asarray(out),
+                             batch["normal_light"][:n],
+                             str(self.output_dir /
+                                 f"distill_samples_epoch_{epoch}.png"))
+
+    def save_student(self, name: str):
+        ckpt.save_params(str(self.checkpoint_dir / name),
+                         self.state.ema_student_params,
+                         config_json=to_json(self.model.config))
+        print(f"Saved distilled student: {name}")

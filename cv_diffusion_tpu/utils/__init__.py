@@ -1,0 +1,2 @@
+from . import profiling
+from . import torch_compat

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""LCM consistency-distillation CLI.
+
+Teacher checkpoint → distilled student package.  The reference ships the
+distillation components unwired (``src/models/low_light_diffusion.py:284-408``,
+SURVEY §2); this makes them a first-class training mode.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description="LCM consistency distillation")
+    p.add_argument("--teacher", type=str, required=True,
+                   help="Teacher checkpoint dir (orbax)")
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--val_dir", type=str, default=None)
+    p.add_argument("--use_synthetic", action="store_true")
+    p.add_argument("--variant", type=str, default="small")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--num_steps", type=int, default=4,
+                   help="Target LCM inference steps for the student")
+    p.add_argument("--num_ddim_timesteps", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--ema_decay", type=float, default=0.95,
+                   help="Distillation EMA (reference default 0.95)")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    from cv_diffusion_tpu.config import TrainConfig, diffusion_config
+    from cv_diffusion_tpu.data import create_dataloaders
+    from cv_diffusion_tpu.models import create_model, init_model
+    from cv_diffusion_tpu.training import DistillationTrainer
+    from cv_diffusion_tpu.training import checkpoint as ckpt
+
+    model_cfg = diffusion_config(args.variant, image_size=args.image_size,
+                                 num_inference_steps=args.num_steps)
+    model, schedule = create_model(model_cfg)
+    like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
+    like = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), like)["params"]
+    import os
+    params_dir = args.teacher
+    if os.path.isdir(os.path.join(args.teacher, "params")):
+        params_dir = os.path.join(args.teacher, "params")
+    try:
+        teacher = ckpt.load_params(params_dir, like)
+    except Exception:
+        raw = ckpt.load_params(params_dir)
+        teacher = raw.get("ema_params", raw) if isinstance(raw, dict) else raw
+
+    train_loader, val_loader = create_dataloaders(
+        args.data_dir, args.val_dir, batch_size=args.batch_size,
+        image_size=args.image_size, use_synthetic=args.use_synthetic,
+        seed=args.seed)
+
+    cfg = TrainConfig(unet_variant=args.variant, image_size=args.image_size,
+                      num_inference_steps=args.num_steps, epochs=args.epochs,
+                      batch_size=args.batch_size, learning_rate=args.lr,
+                      checkpoint_dir=args.checkpoint_dir,
+                      output_dir=args.output_dir, seed=args.seed)
+    trainer = DistillationTrainer(
+        model, schedule, teacher, train_loader, val_loader, cfg,
+        num_ddim_timesteps=args.num_ddim_timesteps, ema_decay=args.ema_decay)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
