@@ -97,6 +97,8 @@ class Trainer:
         rng = jax.random.key(self.config.seed)
         self.state = create_train_state(model, self.config, rng,
                                         steps_per_epoch=len(train_loader))
+        from .train_state import make_optimizer
+        _, self.lr_schedule = make_optimizer(self.config, len(train_loader))
         self.train_step = make_train_step(model, schedule, self.config,
                                           mesh=self.mesh)
         self.eval_step = make_eval_step(model, schedule, self.config,
@@ -141,7 +143,8 @@ class Trainer:
             train_loss = self.train_epoch()
             val_loss = self.validate() if self.val_loader is not None else None
 
-            log = {"epoch": epoch, "train_loss": train_loss}
+            log = {"epoch": epoch, "train_loss": train_loss,
+                   "lr": float(self.lr_schedule(int(self.state.step)))}
             msg = f"Epoch {epoch}: train_loss={train_loss:.4f}"
             if val_loss is not None:
                 log["val_loss"] = val_loss
@@ -178,8 +181,10 @@ class Trainer:
                 if hasattr(pbar, "set_postfix"):
                     pbar.set_postfix({"loss": loss_val})
                 if self.use_wandb:
+                    step = int(self.state.step)
                     wandb.log({"train_loss_step": loss_val,
-                               "global_step": int(self.state.step)})
+                               "lr": float(self.lr_schedule(step)),
+                               "global_step": step})
         for loss in pending:
             total += float(loss)
             count += 1
