@@ -76,3 +76,80 @@ def test_unet_with_use_pallas_flag():
                                      use_pallas=False)
     y_ref = unet_ref.apply(variables, x, jnp.asarray([5], dtype=jnp.int32))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+class TestFusedIRB:
+    """fused_irb kernel vs the flax InvertedResidualBlock (interpret mode)."""
+
+    def _setup(self, cin=32, cout=32, exp=4, size=32, batch=2, use_se=True,
+               quant=True):
+        import cv_diffusion_tpu.ops.pallas_irb as pirb
+        from cv_diffusion_tpu.models.blocks import InvertedResidualBlock
+
+        block = InvertedResidualBlock(out_channels=cout, expansion_ratio=exp,
+                                      use_se=use_se,
+                                      quantization_friendly=quant)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(batch, size, size, cin))
+                        .astype(np.float32))
+        temb = jnp.asarray(rng.normal(size=(batch, 64)).astype(np.float32))
+        variables = block.init(jax.random.key(0), x, temb)
+        ref = block.apply(variables, x, temb)
+
+        p = variables["params"]
+        hidden = cin * exp
+        tk = p["time_mlp"]["kernel"]
+        tb = p["time_mlp"]["bias"]
+        film = jax.nn.silu(temb) @ tk + tb
+        fs, fb = film[:, :hidden], film[:, hidden:]
+        args = pirb.irb_params_from_flax(p)
+        return pirb, x, fs, fb, args, ref, quant
+
+    def _run(self, pirb, x, fs, fb, args, quant, **kw):
+        return pirb.fused_irb(x, film_scale=fs, film_shift=fb,
+                              silu=not quant, **args, **kw)
+
+    def test_identity_residual(self, monkeypatch):
+        import cv_diffusion_tpu.ops.pallas_irb as pirb_mod
+        self._patch(monkeypatch, pirb_mod)
+        pirb, x, fs, fb, args, ref, quant = self._setup()
+        out = self._run(pirb, x, fs, fb, args, quant, tile_h=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_channel_change_skip(self, monkeypatch):
+        import cv_diffusion_tpu.ops.pallas_irb as pirb_mod
+        self._patch(monkeypatch, pirb_mod)
+        pirb, x, fs, fb, args, ref, quant = self._setup(cin=32, cout=64)
+        assert "wskip" in args
+        out = self._run(pirb, x, fs, fb, args, quant, tile_h=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_no_se_silu(self, monkeypatch):
+        import cv_diffusion_tpu.ops.pallas_irb as pirb_mod
+        self._patch(monkeypatch, pirb_mod)
+        pirb, x, fs, fb, args, ref, quant = self._setup(use_se=False,
+                                                        quant=False)
+        out = self._run(pirb, x, fs, fb, args, quant, use_se=False, tile_h=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_uneven_group_counts(self, monkeypatch):
+        # cin=48 → gn groups 16 (the reference-crash case)
+        import cv_diffusion_tpu.ops.pallas_irb as pirb_mod
+        self._patch(monkeypatch, pirb_mod)
+        pirb, x, fs, fb, args, ref, quant = self._setup(cin=48, cout=48,
+                                                        exp=2, size=16)
+        out = self._run(pirb, x, fs, fb, args, quant, tile_h=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def _patch(self, monkeypatch, pirb_mod):
+        orig = pl.pallas_call
+
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(pirb_mod.pl, "pallas_call", patched)
