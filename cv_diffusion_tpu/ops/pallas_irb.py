@@ -28,7 +28,15 @@ of the tile (the caller zero-pads the image by one row, matching torch's
 
 Inference-only: training keeps the autodiff-friendly XLA path (same math).
 Parity is tested in interpreter mode (tests/test_pallas_kernels.py) and the
-compiled kernel is validated on hardware by the bench path.
+compiled kernel is validated on hardware.
+
+**Status: experimental, not the default.** Measured on v5e (batch 32,
+level-0/level-1 shapes): correct to bf16 precision but ~1.3x slower than the
+XLA op chain (14.8 vs 11.4 ms; 7.4 vs 5.9 ms).  The sequential
+(B x 4-phase x H-tiles) grid costs ~4k Mosaic steps of small matmuls, and the
+x3 recompute runs in f32 on the VPU — together they outweigh the HBM-traffic
+savings at these sizes.  Future direction: merge phases over a VMEM-resident
+image (two passes), bf16 VPU math, wider tiles with W folded into lanes.
 """
 
 from __future__ import annotations
@@ -303,9 +311,15 @@ def fused_irb(x: jnp.ndarray,
         chid=chid, cout=cout, g1=g1, g2=g2, eps=eps, silu=silu,
         has_skip=has_skip, use_se=use_se)
 
+    # The per-batch image block + double buffering + f32 tile temporaries
+    # exceed the default 16M scoped-vmem budget; raise it (v5e has headroom
+    # beyond the conservative default for single-buffered resident blocks).
+    vmem_bytes = 64 * 1024 * 1024
+
     return pl.pallas_call(
         kernel,
         grid=(b, 4, n_tiles),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         in_specs=[
             pl.BlockSpec((1, height + 2, width, cin), full_x,
                          memory_space=pltpu.VMEM),
