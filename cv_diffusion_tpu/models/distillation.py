@@ -139,13 +139,18 @@ def create_distillation_state(teacher_params, student_params,
                               rng: jax.Array) -> DistillationState:
     """Student defaults to a copy of the teacher when not given separately
     (standard LCM distillation init)."""
-    copy = lambda t: jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), t)
+    @jax.jit
+    def build(student):
+        copy = jax.tree_util.tree_map(lambda p: p + 0, student)  # real copy
+        return copy, tx.init(student)
+
+    ema_student, opt_state = build(student_params)
     return DistillationState(
         step=jnp.zeros((), jnp.int32),
         teacher_params=teacher_params,
         student_params=student_params,
-        ema_student_params=copy(student_params),
-        opt_state=tx.init(student_params),
+        ema_student_params=ema_student,
+        opt_state=opt_state,
         rng=rng,
         tx=tx,
     )

@@ -20,9 +20,12 @@ def init_ema(params):
     """Shadow copy of params (``trainer.py:94-96``).
 
     A real copy, not an alias: the train step donates its input state, and
-    aliased params/EMA buffers would be donated twice.
+    aliased params/EMA buffers would be donated twice.  The optimization
+    barrier keeps XLA from CSE-ing the copy away when this runs inside a
+    jitted state-initialization (identical outputs would share one buffer).
     """
-    return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
+    copied = jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
+    return jax.lax.optimization_barrier(copied)
 
 
 def update_ema(ema_params, params, decay: float):

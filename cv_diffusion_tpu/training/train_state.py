@@ -91,16 +91,35 @@ def create_train_state(model: LowLightDiffusion, config: TrainConfig,
                        rng: jax.Array, steps_per_epoch: int = 100,
                        variables=None) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
+    tx, _ = make_optimizer(config, steps_per_epoch)
+
+    # Everything under jit: on remotely-compiled backends, eager init would
+    # issue one compile per op (CLAUDE.md: the eager trap).
     if variables is None:
         from ..models.diffusion import init_model
-        variables = init_model(model, init_rng)
-    params = variables["params"]
-    tx, _ = make_optimizer(config, steps_per_epoch)
+
+        @jax.jit
+        def build(key):
+            params = init_model(model, key)["params"]
+            return (params, tx.init(params),
+                    init_ema(params) if config.use_ema else None)
+
+        params, opt_state, ema = build(init_rng)
+    else:
+        params = variables["params"]
+
+        @jax.jit
+        def build(params):
+            return (tx.init(params),
+                    init_ema(params) if config.use_ema else None)
+
+        opt_state, ema = build(params)
+
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
-        opt_state=tx.init(params),
-        ema_params=init_ema(params) if config.use_ema else None,
+        opt_state=opt_state,
+        ema_params=ema,
         rng=state_rng,
         tx=tx,
     )

@@ -312,8 +312,10 @@ class DistillationTrainer:
             self.mesh = mesh
 
         tx, self._lr_schedule = make_optimizer(self.config, len(train_loader))
-        student = jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True),
-                                         teacher_params)
+        # student starts as a (jitted, non-aliasing) copy of the teacher
+        student = jax.jit(
+            lambda t: jax.tree_util.tree_map(lambda p: p + 0, t))(
+            teacher_params)
         self.state = create_distillation_state(
             teacher_params, student, tx, jax.random.key(self.config.seed))
         self.step_fn = make_distillation_step(
