@@ -12,7 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ step, or build a step via :func:`make_qat_train_step`.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

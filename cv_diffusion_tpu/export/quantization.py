@@ -20,7 +20,7 @@ params saves nothing and hurts accuracy.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 
 import jax

@@ -24,13 +24,13 @@ import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (DiffusionConfig, SchedulerConfig, from_dict, to_json)
+from ..config import DiffusionConfig, from_dict, to_json
 from ..models.diffusion import LowLightDiffusion, enhance
 from ..models.scheduler import (LCMSchedule, lcm_timesteps, make_schedule)
 from ..training import checkpoint as ckpt
@@ -57,8 +57,11 @@ def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
 
     def fn(params, key_data, low_light):
         rng = jax.random.wrap_key_data(key_data)
-        return enhance(model, schedule, {"params": params}, rng, low_light,
-                       num_inference_steps=num_inference_steps)
+        out = enhance(model, schedule, {"params": params}, rng, low_light,
+                      num_inference_steps=num_inference_steps)
+        # float32 on device: host-side bf16→f32 conversion of the fetched
+        # output costs ~50 ms/image on one core (measured).
+        return out.astype(jnp.float32)
 
     return fn
 
@@ -162,8 +165,6 @@ def load_serving_package(package_dir: str):
     out = Path(package_dir)
     with open(out / "model_config.json") as f:
         cfg = json.load(f)
-    from ..config import UNetConfig, DiffusionConfig
-
     model_cfg = from_dict(DiffusionConfig, cfg["model"])
     model = LowLightDiffusion(model_cfg)
     schedule = make_schedule(model_cfg.scheduler)

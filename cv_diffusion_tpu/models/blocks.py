@@ -9,13 +9,14 @@ statistics, and compute-dtype control for bfloat16.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import linear_attention, standard_attention
+from ..ops.attention import (linear_attention, standard_attention,
+                             standard_attention_flash)
 from ..ops.norms import gn_num_groups, group_norm, group_norm_film
 
 Dtype = Any
@@ -231,10 +232,16 @@ class LinearAttentionBlock(nn.Module):
 
 class StandardAttentionBlock(nn.Module):
     """GN → 1×1 qkv → softmax attention → 1×1 out → +residual
-    (``src/models/efficient_unet.py:311-357``)."""
+    (``src/models/efficient_unet.py:311-357``).
+
+    With ``use_pallas`` the softmax attention runs through JAX's stock Pallas
+    flash-attention kernel (O(N) memory) — required for 512²+ resolutions
+    when ``use_linear_attention=False``.
+    """
 
     num_heads: int = 4
     dim_head: int = 32
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -249,7 +256,11 @@ class StandardAttentionBlock(nn.Module):
         qkv = qkv.reshape(b, hgt * wid, 3, self.num_heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        out = standard_attention(q, k, v, scale=self.dim_head ** -0.5)
+        if self.use_pallas:
+            out = standard_attention_flash(q, k, v,
+                                           scale=self.dim_head ** -0.5)
+        else:
+            out = standard_attention(q, k, v, scale=self.dim_head ** -0.5)
 
         out = out.reshape(b, hgt, wid, inner)
         out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,

@@ -22,14 +22,13 @@ factory returns a donated, mesh-shardable train step like the base trainer's.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..config import TrainConfig
 from ..models.diffusion import LowLightDiffusion
 from ..models.scheduler import LCMSchedule, add_noise
 from ..training.ema import update_ema

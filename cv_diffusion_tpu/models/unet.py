@@ -23,7 +23,7 @@ largest valid group count (see ``ops/norms.py``).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from flax import linen as nn
 from ..config import UNetConfig, unet_config
 from .blocks import (Downsample, InvertedResidualBlock, LinearAttentionBlock,
                      StandardAttentionBlock, TimeEmbedding, Upsample,
-                     GroupNorm, activation, PAD1)
+                     GroupNorm, PAD1)
 
 
 class EfficientUNet(nn.Module):
@@ -56,7 +56,8 @@ class EfficientUNet(nn.Module):
                 use_pallas=cfg.use_pallas, dtype=self._dtype(), name=name)
         return StandardAttentionBlock(
             num_heads=cfg.num_attention_heads,
-            dim_head=cfg.attention_head_dim, dtype=self._dtype(), name=name)
+            dim_head=cfg.attention_head_dim, use_pallas=cfg.use_pallas,
+            dtype=self._dtype(), name=name)
 
     def _irb(self, out_ch: int, name: str):
         cfg = self.config

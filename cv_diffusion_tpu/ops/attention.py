@@ -123,3 +123,28 @@ def linear_attention_sharded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     spec = P(None, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec)(q, k, v)
+
+
+def standard_attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             scale: float) -> jnp.ndarray:
+    """Flash-attention path for the O(N²) softmax form.
+
+    Routes through JAX's stock Pallas TPU flash-attention kernel (tiled
+    online-softmax — O(N) memory instead of materializing the [N, N] score
+    matrix), for large token counts where ``standard_attention`` would blow
+    HBM.  Falls back to the plain implementation when N is too small to tile
+    (the kernel wants N ≥ 128).
+
+    Layout adapter: ours is [B, N, H, D]; the kernel takes [B, H, N, D].
+    """
+    n = q.shape[1]
+    if n < 128:
+        return standard_attention(q, k, v, scale)
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention)
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+    return jnp.swapaxes(out, 1, 2).astype(q.dtype)

@@ -9,14 +9,13 @@ EMA loop over tensors) all compiles into the same XLA program.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import TrainConfig
 from ..models.diffusion import LowLightDiffusion, diffusion_loss, train_forward

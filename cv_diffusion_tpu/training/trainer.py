@@ -19,8 +19,6 @@ Differences by design (all TPU-motivated):
 from __future__ import annotations
 
 import json
-import os
-import time
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -41,15 +39,14 @@ except ImportError:
     HAS_WANDB = False
     wandb = None
 
-from ..config import DiffusionConfig, TrainConfig, diffusion_config, to_json
+from ..config import TrainConfig, diffusion_config, to_json
 from ..models.diffusion import (LowLightDiffusion, create_model, enhance,
                                 denormalize_image)
 from ..models.scheduler import LCMSchedule
 from ..parallel.mesh import make_mesh, shard_batch
 from . import checkpoint as ckpt
 from .metrics import psnr, ssim
-from .train_state import (TrainState, create_train_state, make_eval_step,
-                          make_train_step)
+from .train_state import create_train_state, make_eval_step, make_train_step
 
 
 def _to_u8(img: np.ndarray) -> np.ndarray:
@@ -292,8 +289,6 @@ class DistillationTrainer:
                  val_loader=None, config: Optional[TrainConfig] = None,
                  num_ddim_timesteps: int = 50, ema_decay: float = 0.95,
                  mesh=None):
-        import optax
-
         from ..models.distillation import (create_distillation_state,
                                            make_distillation_step)
         from .train_state import make_optimizer

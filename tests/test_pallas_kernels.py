@@ -153,3 +153,20 @@ class TestFusedIRB:
             return orig(*args, **kwargs)
 
         monkeypatch.setattr(pirb_mod.pl, "pallas_call", patched)
+
+
+def test_flash_attention_matches_standard():
+    """Stock Pallas flash attention (interpret-capable on CPU via fallback
+    check) vs plain softmax attention."""
+    from cv_diffusion_tpu.ops.attention import (standard_attention,
+                                                standard_attention_flash)
+    rng = np.random.default_rng(0)
+    # small N falls back to the plain path — equality is trivial there;
+    # checks the adapter plumbing.
+    shape = (1, 64, 4, 32)
+    q = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    ref = standard_attention(q, k, v, scale=32 ** -0.5)
+    out = standard_attention_flash(q, k, v, scale=32 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
