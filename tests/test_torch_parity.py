@@ -83,3 +83,111 @@ def test_param_tree_is_complete(parity_pair):
     n_torch = sum(p.numel() for p in tmodel.parameters())
     n_flax = sum(p.size for p in jax.tree_util.tree_leaves(variables))
     assert n_torch == n_flax
+
+
+def test_full_sampler_parity_with_injected_noise(parity_pair):
+    """End-to-end 4-step LCM sampling parity against the reference.
+
+    Both frameworks get the SAME weights (converted) and the SAME injected
+    noise tensors (the torch side's randn/randn_like are monkeypatched —
+    the reference ignores its ``generator`` anyway,
+    ``lcm_scheduler.py:236-237``), so outputs must match to float32
+    accumulation error across 4 full UNet evaluations + renoise steps.
+    """
+    import importlib.util
+    import sys
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from cv_diffusion_tpu.config import SchedulerConfig
+    from cv_diffusion_tpu.models import scheduler as sched
+
+    tmodel, jmodel, variables = parity_pair
+
+    # --- load the reference scheduler with a stubbed diffusers ------------
+    if "diffusers" not in sys.modules:
+        d = types.ModuleType("diffusers")
+        cu = types.ModuleType("diffusers.configuration_utils")
+
+        class SchedulerMixin:  # noqa: D401 - stub
+            pass
+
+        class ConfigMixin:
+            pass
+
+        def register_to_config(f):
+            import inspect
+
+            def wrapper(self, *a, **k):
+                sig = inspect.signature(f)
+                bound = sig.bind(self, *a, **k)
+                bound.apply_defaults()
+                cfg = types.SimpleNamespace(
+                    **{n: v for n, v in list(bound.arguments.items())[1:]})
+                self.config = cfg
+                return f(self, *a, **k)
+
+            return wrapper
+
+        d.SchedulerMixin = SchedulerMixin
+        cu.ConfigMixin = ConfigMixin
+        cu.register_to_config = register_to_config
+        sys.modules["diffusers"] = d
+        sys.modules["diffusers.configuration_utils"] = cu
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_lcm", "/root/reference/src/models/lcm_scheduler.py")
+    ref_lcm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_lcm)
+
+    # --- fixed noise shared by both sides ---------------------------------
+    rng = np.random.default_rng(42)
+    steps = 4
+    init_noise = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    step_noise = rng.normal(size=(steps, 1, 3, 64, 64)).astype(np.float32)
+    low = rng.uniform(-1, 0, size=(1, 3, 64, 64)).astype(np.float32)
+
+    # --- torch reference sampling loop (enhance(), randn monkeypatched) ---
+    scheduler = ref_lcm.LCMScheduler(rescale_betas_zero_snr=True)
+    scheduler.set_timesteps(steps)
+    noise_iter = iter(list(step_noise))
+
+    real_randn_like = torch.randn_like
+    torch.randn_like = lambda t, **k: torch.tensor(next(noise_iter))
+    try:
+        latents = torch.tensor(init_noise)
+        low_t = torch.tensor(low)
+        with torch.no_grad():
+            for t in scheduler.timesteps.tolist():
+                model_input = torch.cat([latents, low_t], dim=1)
+                t_vec = torch.full((1,), t, dtype=torch.long)
+                eps = tmodel(model_input, t_vec)
+                out = scheduler.step(eps, t, latents)
+                latents = out.prev_sample
+        ref_out = latents.clamp(-1, 1).numpy()
+    finally:
+        torch.randn_like = real_randn_like
+
+    # --- our scanned sampler with the same injected noise ------------------
+    from cv_diffusion_tpu.models.diffusion import LowLightDiffusion, enhance
+    from cv_diffusion_tpu.config import diffusion_config
+
+    cfg = diffusion_config("small", image_size=64)
+    model = LowLightDiffusion(cfg)
+    schedule = sched.make_schedule(SchedulerConfig(rescale_betas_zero_snr=True))
+
+    to_nhwc = lambda a: jnp.asarray(np.transpose(a, (0, 2, 3, 1)))
+    ours = enhance(
+        model, schedule, {"params": {"unet": variables["params"]}},
+        jax.random.key(0), to_nhwc(low), num_inference_steps=steps,
+        init_noise=to_nhwc(init_noise),
+        step_noise=jnp.stack([to_nhwc(n) for n in step_noise]))
+    ours_nchw = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+
+    # torch renoise pops step noise only for non-final steps; final step
+    # returns x0 — our step() consumes the same ordering, unused final noise.
+    np.testing.assert_allclose(ours_nchw, ref_out, atol=5e-3)
+    rel = np.abs(ours_nchw - ref_out).max()
+    assert rel < 5e-3
