@@ -38,6 +38,8 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--params-dtype", default="bf16",
+                   help="bf16 (serving default) or fp32")
     args = p.parse_args()
 
     cfg = diffusion_config(args.variant, image_size=args.image_size,
@@ -47,6 +49,11 @@ def main():
     # Keep every device op inside jit: eager dispatch is pathologically slow
     # on remotely-compiled backends.
     variables = jax.jit(lambda k: init_model(model, k))(jax.random.key(0))
+    if args.params_dtype in ("bf16", "bfloat16"):
+        # bf16 weights = the shipped serving quantization; halves weight
+        # reads (measured +3% throughput at batch 128).
+        from cv_diffusion_tpu.export.quantization import quantize_bf16
+        variables = jax.jit(quantize_bf16)(variables)
     jax.block_until_ready(variables)
 
     make_low = jax.jit(lambda k: jax.random.uniform(
