@@ -10,3 +10,4 @@ from .distillation import (DistillationState, create_distillation_state,
                            make_distillation_step,
                            consistency_distillation_loss, consistency_loss,
                            huber_loss, sample_timestep_pairs)
+from .diffusion import EnhanceOutput

@@ -25,10 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from dataclasses import dataclass
+
 from ..config import DiffusionConfig, diffusion_config
 from . import scheduler as sched
 from .scheduler import LCMSchedule, make_schedule
 from .unet import EfficientUNet, memory_footprint
+
+
+@dataclass
+class EnhanceOutput:
+    """Sampler output container (reference ``LowLightDiffusionOutput``,
+    ``src/models/low_light_diffusion.py:24-28``)."""
+
+    enhanced: jnp.ndarray
+    intermediate: Optional[jnp.ndarray] = None
 
 
 class ConditionEncoder(nn.Module):
@@ -174,7 +185,8 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
       init_noise / step_noise: optional explicit noise tensors
         ([B,H,W,3] and [steps,B,H,W,3]) for cross-framework parity harnesses.
 
-    Returns [B, H, W, 3] in [-1, 1] (or (enhanced, intermediates)).
+    Returns [B, H, W, 3] in [-1, 1], or an ``EnhanceOutput`` when
+      ``return_intermediate=True``.
     """
     cfg = model.config
     steps = num_inference_steps or cfg.num_inference_steps
@@ -211,7 +223,7 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
 
     enhanced = jnp.clip(latents, -1.0, 1.0)
     if return_intermediate:
-        return enhanced, intermediates
+        return EnhanceOutput(enhanced=enhanced, intermediate=intermediates)
     return enhanced
 
 

@@ -68,11 +68,19 @@ def main():
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--batch_sizes", type=int, nargs="+", default=[1, 8, 32])
     p.add_argument("--num_runs", type=int, default=10)
+    p.add_argument("--profile", type=str, default=None,
+                   help="Capture a jax.profiler trace to this directory")
     args = p.parse_args()
 
     print(f"Benchmarking {args.variant} @ {args.image_size}px, "
           f"{args.num_steps} LCM steps, {args.dtype}")
-    results = benchmark_sampler(args)
+    if args.profile:
+        from cv_diffusion_tpu.utils.profiling import trace
+        with trace(args.profile):
+            results = benchmark_sampler(args)
+        print(f"Trace written to {args.profile} (open in Perfetto/TensorBoard)")
+    else:
+        results = benchmark_sampler(args)
 
     print(f"\n{'batch':>6} {'mean ms':>9} {'std':>7} {'min':>8} {'max':>8} "
           f"{'ms/step':>8} {'ms/img':>8} {'img/s':>9}")

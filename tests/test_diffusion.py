@@ -118,8 +118,9 @@ def test_enhance_scan_matches_python_loop(tiny_model):
 def test_enhance_intermediates(tiny_model):
     model, schedule, variables = tiny_model
     low, _ = _batch(jax.random.key(3), b=1)
-    out, inter = enhance(model, schedule, variables, jax.random.key(4), low,
-                         num_inference_steps=2, return_intermediate=True)
+    result = enhance(model, schedule, variables, jax.random.key(4), low,
+                     num_inference_steps=2, return_intermediate=True)
+    out, inter = result.enhanced, result.intermediate
     assert inter.shape == (2, 1, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(jnp.clip(inter[-1], -1, 1)),
                                np.asarray(out), atol=1e-6)
