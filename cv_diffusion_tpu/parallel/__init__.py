@@ -1,2 +1,3 @@
 from .mesh import (make_mesh, auto_mesh, batch_sharding, replicated_sharding,
                    shard_batch, DATA_AXIS, SPATIAL_AXIS)
+from .serving import make_sharded_sample_fn

@@ -103,6 +103,13 @@ def load_params(path: str, params_like=None):
     return restored["params"]
 
 
+def load_raw(path: str):
+    """Restore the raw saved tree (full training checkpoints: step, params,
+    opt_state, rng [, ema_params]) without imposing a target structure."""
+    ckpt = ocp.PyTreeCheckpointer()
+    return ckpt.restore(os.path.abspath(path))
+
+
 def load_model_config(path: str) -> Optional[dict]:
     p = os.path.join(os.path.abspath(path), "model_config.json")
     if os.path.exists(p):

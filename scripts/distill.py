@@ -57,8 +57,8 @@ def main():
     try:
         teacher = ckpt.load_params(params_dir, like)
     except Exception:
-        raw = ckpt.load_params(params_dir)
-        teacher = raw.get("ema_params", raw) if isinstance(raw, dict) else raw
+        raw = ckpt.load_raw(params_dir)
+        teacher = raw.get("ema_params", raw["params"])
 
     train_loader, val_loader = create_dataloaders(
         args.data_dir, args.val_dir, batch_size=args.batch_size,

@@ -55,10 +55,9 @@ def main():
     try:
         params = ckpt.load_params(params_dir, like)
     except Exception:
-        raw = ckpt.load_params(params_dir)
-        key = "ema_params" if (args.use_ema and isinstance(raw, dict)
-                               and "ema_params" in raw) else None
-        params = raw[key] if key else raw
+        raw = ckpt.load_raw(params_dir)
+        key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
+        params = raw[key]
 
     ds = LowLightDataset(args.data_dir, image_size=args.image_size,
                          augment_data=False)

@@ -56,9 +56,9 @@ def main():
     try:
         params = ckpt.load_params(params_dir, like)
     except Exception:
-        raw = ckpt.load_params(params_dir)
-        key = "ema_params" if (args.use_ema and "ema_params" in raw) else None
-        params = raw[key] if key else raw
+        raw = ckpt.load_raw(params_dir)
+        key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
+        params = raw[key]
 
     files = create_serving_package(
         args.output, model, schedule, params,

@@ -47,10 +47,13 @@ def load_pipeline(args):
         params_dir = os.path.join(args.model, "params")
     try:
         params = ckpt.load_params(params_dir, like)
+        if args.use_ema:
+            print("Warning: --use_ema ignored (params-only checkpoint)")
     except Exception:
-        # full training checkpoint: restore ema_params if present else params
-        raw = ckpt.load_params(params_dir)
-        params = raw
+        # full training checkpoint: params or EMA shadow
+        raw = ckpt.load_raw(params_dir)
+        key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
+        params = raw[key]
     return SP(model, schedule, params, cfg)
 
 
@@ -81,6 +84,8 @@ def main():
     p.add_argument("--no_pad", action="store_true",
                    help="Plain resize instead of aspect-preserving pad")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_ema", action="store_true",
+                   help="Use the EMA weights from a training checkpoint")
     args = p.parse_args()
 
     pipe = load_pipeline(args)

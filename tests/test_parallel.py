@@ -139,3 +139,21 @@ def test_token_sharded_linear_attention():
     out = jax.jit(lambda a, b2, c: linear_attention_sharded(
         a, b2, c, mesh=mesh))(qs, ks, vs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sharded_serving_fn(tiny_training):
+    """DP serving: params replicated, batch sharded, linear in chips."""
+    from cv_diffusion_tpu.parallel import make_sharded_sample_fn
+
+    model, schedule, variables, _ = tiny_training
+    mesh = make_mesh((8, 1))
+    fn = make_sharded_sample_fn(model, schedule, num_inference_steps=2,
+                                mesh=mesh)
+    low = np.random.default_rng(2).uniform(-1, 0, (16, 32, 32, 3)).astype(
+        np.float32)
+    key_data = jax.random.key_data(jax.random.key(0))
+    out = fn(variables["params"], key_data, jnp.asarray(low))
+    assert out.shape == (16, 32, 32, 3)
+    assert out.dtype == jnp.float32
+    # output actually sharded over the data axis
+    assert out.sharding.shard_shape(out.shape)[0] == 2
