@@ -104,7 +104,10 @@ def linear_attention_sharded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     the flattened h·w token axis is sharded under pjit).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def local(q, k, v):
         qf = elu_plus_one(q.astype(jnp.float32))
