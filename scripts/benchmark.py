@@ -20,7 +20,6 @@ REALTIME_FPS = 30.0
 
 def benchmark_sampler(args):
     import jax
-    import jax.numpy as jnp
     from cv_diffusion_tpu.config import diffusion_config
     from cv_diffusion_tpu.models import create_model, init_model, enhance
 

@@ -39,8 +39,7 @@ def main():
     from cv_diffusion_tpu.models import create_model, init_model
     from cv_diffusion_tpu.training import checkpoint as ckpt
     from cv_diffusion_tpu.export import (create_serving_package,
-                                         ServingPipeline, ServingConfig,
-                                         quantization_report)
+                                         ServingPipeline, ServingConfig)
 
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
                                  num_inference_steps=args.num_steps)
