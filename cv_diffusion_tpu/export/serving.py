@@ -186,13 +186,14 @@ def load_serving_package(package_dir: str):
         # int8 packages store the quantized dict {values, scales, quantized}.
         restored = ckpt.load_params(str(out / "params"))
         params = dequantize_int8(restored)
-    else:
+    elif codec == "bf16":
         restored = ckpt.load_params(
             str(out / "params"),
-            like if codec == "fp32" else jax.tree_util.tree_map(
+            jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.bfloat16), like))
-        params = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32),
-                                        restored)
+        params = restored  # serve in bf16 — that's the point of the codec
+    else:
+        params = ckpt.load_params(str(out / "params"), like)
     return model, schedule, params, cfg
 
 

@@ -188,3 +188,14 @@ def test_stablehlo_export_and_reload(tiny, tmp_path):
     out = fn(params, key_data, low)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_bf16_package_serves_in_bf16(tiny, tmp_path):
+    import jax.numpy as jnp
+    model, schedule, params = tiny
+    create_serving_package(str(tmp_path / "pkgb"), model, schedule, params,
+                           num_inference_steps=2, quantize="bf16")
+    _, _, params2, cfg = load_serving_package(str(tmp_path / "pkgb"))
+    assert cfg["quantization"] == "bf16"
+    leaves = jax.tree_util.tree_leaves(params2)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves)

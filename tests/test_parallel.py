@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from jax.sharding import PartitionSpec as P
 
 from cv_diffusion_tpu.config import TrainConfig, diffusion_config
