@@ -49,6 +49,16 @@ class ServingConfig:
     dtype: str = "bfloat16"
     keep_aspect: bool = True
     seed: int = 0
+    # Persistent XLA compilation cache directory: first-process compiles of
+    # the sampler take minutes on TPU; subsequent process starts reuse the
+    # cached executable (None = disabled).
+    compilation_cache_dir: Optional[str] = None
+
+
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Turn on JAX's persistent compilation cache (process-wide)."""
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
@@ -205,6 +215,8 @@ class ServingPipeline:
                  params, config: Optional[ServingConfig] = None):
         self.config = config or ServingConfig(
             image_size=model.config.image_size)
+        if self.config.compilation_cache_dir:
+            enable_compilation_cache(self.config.compilation_cache_dir)
         self.model = model
         self.schedule = schedule
         self.params = params

@@ -199,3 +199,20 @@ def test_bf16_package_serves_in_bf16(tiny, tmp_path):
     assert cfg["quantization"] == "bf16"
     leaves = jax.tree_util.tree_leaves(params2)
     assert all(l.dtype == jnp.bfloat16 for l in leaves)
+
+
+def test_compilation_cache_config(tmp_path, tiny):
+    """ServingConfig.compilation_cache_dir wires up the persistent cache."""
+    import jax
+    from cv_diffusion_tpu.export.serving import enable_compilation_cache
+
+    model, schedule, params = tiny
+    cache = str(tmp_path / "xla-cache")
+    pipe = ServingPipeline(model, schedule, params,
+                           ServingConfig(image_size=32, num_inference_steps=2,
+                                         compilation_cache_dir=cache))
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    pipe(img)
+    assert jax.config.jax_compilation_cache_dir == cache
+    # cleanup for other tests (cache stays valid but unset globally)
+    jax.config.update("jax_compilation_cache_dir", None)
