@@ -225,6 +225,9 @@ class TrainConfig:
     resume_from: Optional[str] = None
 
     seed: int = 0
+    # Debugging: raise on NaN/Inf anywhere in the computation (the JAX
+    # equivalent of a sanitizer pass; SURVEY §5 — the reference has none).
+    debug_nans: bool = False
     # Parallelism: number of data-parallel shards ("auto" = all local devices).
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -76,6 +76,8 @@ class Trainer:
                  config: Optional[TrainConfig] = None,
                  mesh=None):
         self.config = config or TrainConfig()
+        if self.config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.model = model
         self.schedule = schedule
         self.train_loader = train_loader
