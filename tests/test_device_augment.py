@@ -1,0 +1,90 @@
+"""On-device augmentation tests: parity with the host (cv2/numpy) pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cv_diffusion_tpu.data import augment as host_aug
+from cv_diffusion_tpu.data import device_augment as dev_aug
+
+
+def _frames(b=3, h=48, w=64):
+    rng = np.random.default_rng(0)
+    low = rng.uniform(-1, 0, (b, h, w, 3)).astype(np.float32)
+    high = rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)
+    return jnp.asarray(low), jnp.asarray(high)
+
+
+def test_paired_augment_shapes_and_pairing():
+    low, _ = _frames()
+    # identical inputs must stay identical under the paired transform
+    lo, hi = dev_aug.paired_augment(jax.random.key(0), low, low, size=32)
+    assert lo.shape == (3, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(hi), atol=1e-6)
+
+
+def test_paired_augment_deterministic_by_key():
+    low, high = _frames()
+    a = dev_aug.paired_augment(jax.random.key(3), low, high, size=32)
+    b = dev_aug.paired_augment(jax.random.key(3), low, high, size=32)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    c = dev_aug.paired_augment(jax.random.key(4), low, high, size=32)
+    assert np.abs(np.asarray(a[0]) - np.asarray(c[0])).max() > 0
+
+
+def test_crops_come_from_source():
+    """With flips/rotation disabled, each crop is an exact source window."""
+    low, high = _frames(b=2)
+    lo, hi = dev_aug.paired_augment(jax.random.key(1), low, high, size=16,
+                                    hflip_p=0.0, vflip_p=0.0, rotate_p=0.0)
+    src = np.asarray(low[0])
+    crop = np.asarray(lo[0])
+    # find the window by matching the first pixel row
+    found = False
+    for top in range(src.shape[0] - 16 + 1):
+        for left in range(src.shape[1] - 16 + 1):
+            if np.allclose(src[top:top + 16, left:left + 16], crop, atol=1e-6):
+                found = True
+                break
+        if found:
+            break
+    assert found
+
+
+def test_center_crop_matches_host():
+    low, high = _frames()
+    lo, hi = dev_aug.paired_center_crop(low, high, size=32)
+    ref_lo, ref_hi = [], []
+    for i in range(low.shape[0]):
+        # host path takes [0,255] u8; emulate on float by direct crop coords
+        top, left = host_aug.center_crop_coords(48, 64, 32)
+        ref_lo.append(np.asarray(low[i])[top:top + 32, left:left + 32])
+        ref_hi.append(np.asarray(high[i])[top:top + 32, left:left + 32])
+    np.testing.assert_allclose(np.asarray(lo), np.stack(ref_lo), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hi), np.stack(ref_hi), atol=1e-6)
+
+
+def test_rotation_matches_cv2():
+    """Device bilinear/reflect-101 rotation vs the host cv2 implementation."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    img_u8 = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    img = img_u8.astype(np.float32)
+    for angle in (7.3, -12.0):
+        ref = host_aug.rotate(img_u8, angle).astype(np.float32)
+        out = np.asarray(dev_aug._rotate_bilinear(jnp.asarray(img),
+                                                  jnp.float32(angle)))
+        # cv2 rounds to uint8; compare within 1 LSB + interpolation noise
+        assert np.abs(out - ref).max() <= 1.0 + 1e-3
+
+
+def test_synthetic_low_light_device():
+    rng = np.random.default_rng(3)
+    normal = jnp.asarray(rng.uniform(-0.2, 1, (4, 32, 32, 3))
+                         .astype(np.float32))
+    low = dev_aug.synthetic_low_light(jax.random.key(0), normal)
+    assert low.shape == normal.shape
+    assert float(low.min()) >= -1.0 and float(low.max()) <= 1.0
+    # gamma ≥ 2 darkens
+    assert float(low.mean()) < float(normal.mean())
