@@ -14,7 +14,16 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def _numpy_restore_args(tree):
+    """RestoreArgs forcing host-numpy restore — makes checkpoints portable
+    across backends (a package saved on CPU must load on TPU and vice
+    versa; orbax's default re-applies the saved device shardings)."""
+    return jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
 
 META_FILE = "trainer_meta.json"
 
@@ -93,21 +102,29 @@ def save_params(path: str, params, config_json: Optional[str] = None) -> None:
 
 def load_params(path: str, params_like=None):
     """Restore a params tree; with ``params_like=None`` restores the raw
-    saved structure (used for quantized packages whose leaf dtypes differ)."""
+    saved structure (used for quantized packages whose leaf dtypes differ).
+
+    Leaves come back as host numpy arrays (backend-portable); jit/device_put
+    places them on first use."""
     path = os.path.abspath(path)
     ckpt = ocp.PyTreeCheckpointer()
     if params_like is None:
         restored = ckpt.restore(path)
+        restored = jax.tree_util.tree_map(np.asarray, restored)
     else:
-        restored = ckpt.restore(path, item={"params": params_like})
+        item = {"params": params_like}
+        restored = ckpt.restore(path, item=item,
+                                restore_args=_numpy_restore_args(item))
     return restored["params"]
 
 
 def load_raw(path: str):
     """Restore the raw saved tree (full training checkpoints: step, params,
-    opt_state, rng [, ema_params]) without imposing a target structure."""
+    opt_state, rng [, ema_params]) without imposing a target structure.
+    Leaves come back as host numpy arrays (backend-portable)."""
     ckpt = ocp.PyTreeCheckpointer()
-    return ckpt.restore(os.path.abspath(path))
+    restored = ckpt.restore(os.path.abspath(path))
+    return jax.tree_util.tree_map(np.asarray, restored)
 
 
 def load_model_config(path: str) -> Optional[dict]:
