@@ -125,13 +125,13 @@ def synthetic_low_light(rng: jax.Array, normal: jnp.ndarray,
     Returns degraded low-light frames in [-1, 1].
     """
     b = normal.shape[0]
-    k_g, k_n, k_cp, k_cs = jax.random.split(rng, 4)
+    k_g, k_nl, k_n, k_cp, k_cs = jax.random.split(rng, 5)
     img01 = (normal + 1.0) * 0.5
     gamma = jax.random.uniform(k_g, (b, 1, 1, 1), minval=gamma_range[0],
                                maxval=gamma_range[1])
     dark = jnp.power(jnp.maximum(img01, 0.0), gamma)
     noise_level = jax.random.uniform(
-        k_n, (b, 1, 1, 1), minval=noise_level_range[0],
+        k_nl, (b, 1, 1, 1), minval=noise_level_range[0],
         maxval=noise_level_range[1])
     noisy = jnp.clip(dark + jax.random.normal(k_n, dark.shape) * noise_level,
                      0.0, 1.0)

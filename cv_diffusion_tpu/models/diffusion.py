@@ -190,8 +190,9 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
     """
     cfg = model.config
     steps = num_inference_steps or cfg.num_inference_steps
-    batch = low_light.shape[0]
-    size = cfg.image_size
+    # Latents are sized from the actual input, not cfg.image_size — the
+    # reference sizes its latents from the input tensor too.
+    batch, height, width = low_light.shape[:3]
     dtype = jnp.dtype(cfg.unet.dtype)
 
     ts, prev_ts = sched.timestep_scan_arrays(steps, schedule.config)
@@ -200,12 +201,13 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
 
     init_rng, steps_rng = jax.random.split(rng)
     if init_noise is None:
-        init_noise = jax.random.normal(init_rng, (batch, size, size, 3))
+        init_noise = jax.random.normal(init_rng, (batch, height, width, 3))
     latents = init_noise.astype(dtype)
     if step_noise is None:
         step_keys = jax.random.split(steps_rng, steps)
         step_noise = jax.vmap(
-            lambda k: jax.random.normal(k, (batch, size, size, 3)))(step_keys)
+            lambda k: jax.random.normal(k, (batch, height, width, 3)))(
+            step_keys)
     step_noise = step_noise.astype(dtype)
 
     low = low_light.astype(dtype)

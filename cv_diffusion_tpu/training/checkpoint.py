@@ -69,7 +69,8 @@ def restore_checkpoint(path: str, state) -> Dict[str, Any]:
         target["ema_params"] = state.ema_params
 
     ckpt = ocp.PyTreeCheckpointer()
-    restored = ckpt.restore(path, item=target)
+    restored = ckpt.restore(path, item=target,
+                            restore_args=_numpy_restore_args(target))
     new_state = state.replace(
         step=restored["step"],
         params=restored["params"],

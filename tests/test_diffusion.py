@@ -73,6 +73,17 @@ def test_enhance_shape_and_range(tiny_model):
     assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
 
 
+def test_enhance_sizes_latents_from_input(tiny_model):
+    # Latent shape follows the input, not cfg.image_size (=32 here) — the
+    # reference sizes latents from the input tensor.
+    model, schedule, variables = tiny_model
+    low = jax.random.uniform(jax.random.key(7), (1, 64, 48, 3),
+                             minval=-1, maxval=0)
+    out = enhance(model, schedule, variables, jax.random.key(8), low,
+                  num_inference_steps=2)
+    assert out.shape == (1, 64, 48, 3)
+
+
 def test_enhance_deterministic_given_key(tiny_model):
     model, schedule, variables = tiny_model
     low, _ = _batch(jax.random.key(3))
