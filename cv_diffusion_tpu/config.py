@@ -225,6 +225,13 @@ class TrainConfig:
     resume_from: Optional[str] = None
 
     seed: int = 0
+    # Data pipeline: None = auto-select the native C++ loader when built
+    # (the reference's num_workers pipeline equivalent,
+    # ``src/training/dataset.py:371-378``); True forces it, False forces the
+    # pure-Python loader.  prefetch_batches overlaps host batch assembly
+    # with the device step.
+    native_loader: Optional[bool] = None
+    prefetch_batches: int = 2
     # Debugging: raise on NaN/Inf anywhere in the computation (the JAX
     # equivalent of a sanitizer pass; SURVEY §5 — the reference has none).
     debug_nans: bool = False

@@ -212,22 +212,71 @@ class DataLoader:
 def create_dataloaders(train_root: str, val_root: Optional[str] = None,
                        batch_size: int = 8, image_size: int = 256,
                        use_synthetic: bool = False, seed: int = 0,
-                       **dataset_kwargs
-                       ) -> Tuple[DataLoader, Optional[DataLoader]]:
-    """Train + optional val loaders (``dataset.py:335-396``)."""
+                       native: Optional[bool] = None, prefetch: int = 2,
+                       num_threads: int = 0, **dataset_kwargs):
+    """Train + optional val loaders (``dataset.py:335-396``).
+
+    ``native=None`` auto-selects the C++ pipeline (``native/dataloader.cc``)
+    when its shared library is built — the TPU-native replacement for the
+    reference's ``num_workers`` subprocess pipeline
+    (``src/training/dataset.py:371-378``); ``False`` forces pure Python,
+    ``True`` requires the library.  ``prefetch`` > 0 wraps the loaders so the
+    next batch is assembled while the device runs the current step.
+    """
+    from .native import (NativeDataLoader, NativeSyntheticDataLoader,
+                         native_available)
+    from .prefetch import PrefetchLoader
+
+    use_native = native_available() if native is None else native
+    if use_native and not native_available():
+        raise RuntimeError(
+            "native loader requested but libcvdm_data.so is not built "
+            "(make -C native)")
+
     if use_synthetic:
+        # Python dataset used for file discovery (and as fallback).
         train_ds = SyntheticLowLightDataset(train_root, image_size=image_size,
                                             seed=seed, **dataset_kwargs)
+        if use_native:
+            train_loader = NativeSyntheticDataLoader(
+                [str(p) for p in train_ds.images], image_size, batch_size,
+                shuffle=True, drop_last=True,
+                gamma_range=train_ds.gamma_range,
+                noise_level_range=train_ds.noise_level_range, seed=seed,
+                num_threads=num_threads)
+        else:
+            train_loader = DataLoader(train_ds, batch_size, shuffle=True,
+                                      drop_last=True, seed=seed)
     else:
         train_ds = LowLightDataset(train_root, image_size=image_size,
                                    augment_data=True, seed=seed,
                                    **dataset_kwargs)
-    train_loader = DataLoader(train_ds, batch_size, shuffle=True,
-                              drop_last=True, seed=seed)
+        if use_native:
+            train_loader = NativeDataLoader(
+                [str(p) for p in train_ds.low_images],
+                [str(p) for p in train_ds.high_images],
+                image_size, batch_size, shuffle=True, drop_last=True,
+                augment=True, seed=seed, num_threads=num_threads)
+        else:
+            train_loader = DataLoader(train_ds, batch_size, shuffle=True,
+                                      drop_last=True, seed=seed)
+
     val_loader = None
     if val_root is not None:
         val_ds = LowLightDataset(val_root, image_size=image_size,
                                  augment_data=False, seed=seed,
                                  **dataset_kwargs)
-        val_loader = DataLoader(val_ds, batch_size, shuffle=False)
+        if use_native:
+            val_loader = NativeDataLoader(
+                [str(p) for p in val_ds.low_images],
+                [str(p) for p in val_ds.high_images],
+                image_size, batch_size, shuffle=False, augment=False,
+                seed=seed, num_threads=num_threads)
+        else:
+            val_loader = DataLoader(val_ds, batch_size, shuffle=False)
+
+    if prefetch > 0:
+        train_loader = PrefetchLoader(train_loader, prefetch)
+        if val_loader is not None:
+            val_loader = PrefetchLoader(val_loader, prefetch)
     return train_loader, val_loader

@@ -204,3 +204,57 @@ class NativeDataLoader:
                 "filenames": [os.path.basename(self.low_paths[i])
                               for i in idxs],
             }
+
+
+class NativeSyntheticDataLoader:
+    """Synthetic-degradation loader backed by ``cvdm_load_synth_batch``.
+
+    Native counterpart of ``SyntheticLowLightDataset`` + ``DataLoader``:
+    decode → crop/hflip → gamma/noise/color degradation in C++ threads.
+    """
+
+    def __init__(self, paths: List[str], image_size: int, batch_size: int,
+                 shuffle: bool = False, drop_last: bool = False,
+                 gamma_range=(2.0, 5.0), noise_level_range=(0.01, 0.05),
+                 seed: int = 0, num_threads: int = 0):
+        self.paths = [str(p) for p in paths]
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.gamma_range = gamma_range
+        self.noise_level_range = noise_level_range
+        self.num_threads = num_threads
+        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.paths)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.paths))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        for bi, start in enumerate(range(0, len(order), self.batch_size)):
+            idxs = order[start:start + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                return
+            low, high, failed = load_synth_batch(
+                [self.paths[i] for i in idxs], self.image_size,
+                seed=self._seed + self._epoch * 1_000_003 + bi,
+                gamma_range=self.gamma_range,
+                noise_level_range=self.noise_level_range,
+                num_threads=self.num_threads)
+            if failed.any():
+                bad = [self.paths[idxs[i]] for i in np.nonzero(failed)[0]]
+                raise IOError(f"native loader failed on: {bad}")
+            yield {
+                "low_light": low,
+                "normal_light": high,
+                "filenames": [os.path.basename(self.paths[i]) for i in idxs],
+            }
