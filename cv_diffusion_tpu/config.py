@@ -55,8 +55,11 @@ class UNetConfig:
     # TPU-specific knobs (no reference equivalent):
     #   dtype: compute dtype for activations; params stay float32.
     #   use_pallas: route linear attention / fused norm through Pallas kernels.
+    #   act_quant: int8 activation×weight conv compute (serving; the executed
+    #     int8 path — reference ``src/export/quantization.py:144-271``).
     dtype: str = "float32"
     use_pallas: bool = False
+    act_quant: bool = False
 
     @property
     def channels(self) -> Tuple[int, ...]:

@@ -154,6 +154,85 @@ def quantization_error(original, dequantized) -> float:
 
 
 # ---------------------------------------------------------------------------
+# int8-activation compute path (true int8 execution — the TPU equivalent of
+# the reference's qnnpack/fbgemm PTQ, ``src/export/quantization.py:144-271``)
+# ---------------------------------------------------------------------------
+
+def act_quant_model(config):
+    """Return (model, schedule) with the int8 activation×weight compute path
+    enabled (``ops/qconv.py``).  Params from the float model load directly —
+    QConv is structurally identical to ``nn.Conv``."""
+    import dataclasses
+
+    from ..models.diffusion import LowLightDiffusion
+    from ..models.scheduler import make_schedule
+
+    unet_cfg = dataclasses.replace(config.unet, act_quant=True)
+    cfg = dataclasses.replace(config, unet=unet_cfg)
+    return LowLightDiffusion(cfg), make_schedule(cfg.scheduler)
+
+
+def calibrate_act_scales(model, schedule, params, batches, rng=None,
+                         max_batches: int = 100):
+    """PTQ calibration: record per-module input absmax into the
+    ``act_scales`` collection by running real conditioned forwards
+    (noisy ⊕ low-light at sampled timesteps — the reference calibrates with
+    a 3-channel input although the deployed model takes 6; SURVEY §2).
+
+    ReLU6-bounded modules carry a static [0, 6] scale and skip calibration
+    entirely (see ``ops/qconv.py``).
+
+    Args:
+      model: an ``act_quant=True`` model (see :func:`act_quant_model`).
+      params: trained params tree (the "params" collection).
+    Returns:
+      the calibrated ``act_scales`` collection.
+    """
+    import jax
+
+    from ..models.scheduler import add_noise
+
+    rng = jax.random.key(0) if rng is None else rng
+
+    @jax.jit
+    def step(variables, rng, low, high):
+        t_rng, n_rng = jax.random.split(rng)
+        t = jax.random.randint(t_rng, (low.shape[0],), 0,
+                               schedule.config.num_train_timesteps)
+        noise = jax.random.normal(n_rng, high.shape, high.dtype)
+        noisy = add_noise(schedule, high, noise, t)
+        _, mutated = model.apply(variables, noisy, low, t, train=False,
+                                 mutable=["act_scales"])
+        return mutated["act_scales"]
+
+    scales = None
+    for i, batch in enumerate(batches):
+        if i >= max_batches:
+            break
+        rng, b_rng = jax.random.split(rng)
+        low = jnp.asarray(batch["low_light"])
+        high = jnp.asarray(batch.get("normal_light", batch["low_light"]))
+        variables = {"params": params}
+        if scales is not None:
+            variables["act_scales"] = scales
+        scales = step(variables, b_rng, low, high)
+    if scales is None:
+        raise ValueError("calibrate_act_scales needs at least one batch")
+    return scales
+
+
+def assert_calibrated(act_scales) -> None:
+    """Host-side check that every calibrated module saw data (amax > 0);
+    an uncalibrated module would quantize with a degenerate scale."""
+    flat = jax.tree_util.tree_flatten_with_path(act_scales)[0]
+    bad = [_path_str(p) for p, v in flat if float(v) <= 0.0]
+    if bad:
+        raise ValueError(
+            f"act_scales has uncalibrated entries (amax == 0): {bad}; "
+            "run calibrate_act_scales over representative batches first")
+
+
+# ---------------------------------------------------------------------------
 # Static (activation) calibration + quantized-model benchmarking
 # ---------------------------------------------------------------------------
 

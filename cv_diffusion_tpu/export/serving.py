@@ -63,11 +63,16 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
 def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
                    num_inference_steps: int) -> Callable:
-    """(params, rng_key_data, low_light) → enhanced; fully jittable."""
+    """(params_or_variables, rng_key_data, low_light) → enhanced; jittable.
+
+    Accepts either a bare params tree or a full variables dict (e.g.
+    ``{"params": ..., "act_scales": ...}`` for the int8-activation path).
+    """
 
     def fn(params, key_data, low_light):
+        variables = params if "params" in params else {"params": params}
         rng = jax.random.wrap_key_data(key_data)
-        out = enhance(model, schedule, {"params": params}, rng, low_light,
+        out = enhance(model, schedule, variables, rng, low_light,
                       num_inference_steps=num_inference_steps)
         # float32 on device: host-side bf16→f32 conversion of the fetched
         # output costs ~50 ms/image on one core (measured).
@@ -123,25 +128,50 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
                            num_inference_steps: int = 4,
                            quantize: str = "none",
                            include_graph: bool = False,
-                           batch_size: int = 1) -> Dict[str, str]:
+                           batch_size: int = 1,
+                           act_scales=None) -> Dict[str, str]:
     """Write a self-contained deployment package
     (``create_android_package``, ``android_pipeline.py:460-521``):
 
       params/                 Orbax params (optionally quantized)
+      act_scales/             (int8_act) calibrated activation scales
       model_config.json       architecture + scheduler + serving config
       noise_schedule.npz      ᾱ table + timestep grid
       sampler.stablehlo       (optional) the full compiled sampling graph
+
+    ``quantize="int8_act"`` packages the int8 *compute* path: bf16 weights +
+    the calibrated ``act_scales`` collection (pass it in), served through the
+    act_quant model (``export.quantization.act_quant_model``).
     """
+    import dataclasses
+
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     files = {}
 
-    qparams, codec = quantize_model(params, quantize)
+    model_cfg_out = model.config
+    if quantize == "int8_act":
+        if act_scales is None:
+            raise ValueError(
+                "int8_act packages need calibrated act_scales "
+                "(export.quantization.calibrate_act_scales)")
+        from .quantization import assert_calibrated
+        assert_calibrated(act_scales)
+        qparams, codec = quantize_model(params, "bf16")
+        codec = "int8_act"
+        model_cfg_out = dataclasses.replace(
+            model.config,
+            unet=dataclasses.replace(model.config.unet, act_quant=True))
+        ckpt.save_params(str(out / "act_scales"),
+                         jax.tree_util.tree_map(np.asarray, act_scales))
+        files["act_scales"] = str(out / "act_scales")
+    else:
+        qparams, codec = quantize_model(params, quantize)
     ckpt.save_params(str(out / "params"), qparams)
     files["params"] = str(out / "params")
 
     cfg = {
-        "model": json.loads(to_json(model.config)),
+        "model": json.loads(to_json(model_cfg_out)),
         "num_inference_steps": num_inference_steps,
         "quantization": codec,
         "input": [batch_size, model.config.image_size,
@@ -196,7 +226,7 @@ def load_serving_package(package_dir: str):
         # int8 packages store the quantized dict {values, scales, quantized}.
         restored = ckpt.load_params(str(out / "params"))
         params = dequantize_int8(restored)
-    elif codec == "bf16":
+    elif codec in ("bf16", "int8_act"):
         restored = ckpt.load_params(
             str(out / "params"),
             jax.tree_util.tree_map(
@@ -204,6 +234,12 @@ def load_serving_package(package_dir: str):
         params = restored  # serve in bf16 — that's the point of the codec
     else:
         params = ckpt.load_params(str(out / "params"), like)
+    if codec == "int8_act":
+        # model_config.json already carries unet.act_quant=True, so `model`
+        # above is the int8-compute model; ship the variables dict.
+        scales = ckpt.load_params(str(out / "act_scales"))
+        params = {"params": params,
+                  "act_scales": jax.tree_util.tree_map(jnp.asarray, scales)}
     return model, schedule, params, cfg
 
 

@@ -18,6 +18,7 @@ from flax import linen as nn
 from ..ops.attention import (linear_attention, standard_attention,
                              standard_attention_flash)
 from ..ops.norms import gn_num_groups, group_norm, group_norm_film
+from ..ops.qconv import QConv
 
 Dtype = Any
 
@@ -144,6 +145,7 @@ class InvertedResidualBlock(nn.Module):
     se_ratio: float = 0.25
     dropout: float = 0.0
     quantization_friendly: bool = True
+    act_quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -153,11 +155,15 @@ class InvertedResidualBlock(nn.Module):
         hidden = int(in_channels * self.expansion_ratio)
         use_residual = self.stride == 1 and in_channels == self.out_channels
         residual = x
+        # int8 compute path: ReLU6-clipped tensors have a *static* [0, 6]
+        # range (no calibration); SiLU/unbounded inputs calibrate an amax.
+        bound6 = 6.0 if self.quantization_friendly else None
 
         h = GroupNorm(name="norm1")(x)
         h = activation(h, self.quantization_friendly)
-        h = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="expand")(h)
+        h = QConv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                  act_quant=self.act_quant, act_bound=bound6,
+                  name="expand")(h)
 
         # FiLM: scale/shift from SiLU → Dense(2*hidden)
         # (``efficient_unet.py:189-191,214-217``); fused with the second GN.
@@ -172,9 +178,10 @@ class InvertedResidualBlock(nn.Module):
                             gn_num_groups(hidden))
 
         h = activation(h, self.quantization_friendly)
-        h = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
-                    padding=PAD1, feature_group_count=hidden, use_bias=False,
-                    dtype=self.dtype, name="depthwise")(h)
+        h = QConv(hidden, (3, 3), strides=(self.stride, self.stride),
+                  padding=PAD1, feature_group_count=hidden, use_bias=False,
+                  dtype=self.dtype, act_quant=self.act_quant,
+                  act_bound=bound6, name="depthwise")(h)
 
         if self.use_se:
             h = SqueezeExcitation(
@@ -182,16 +189,19 @@ class InvertedResidualBlock(nn.Module):
                 quantization_friendly=self.quantization_friendly,
                 dtype=self.dtype, name="se")(h)
 
-        h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="project")(h)
+        # The depthwise output is un-activated (unbounded), so the project
+        # input needs a calibrated scale even in quantization-friendly mode.
+        h = QConv(self.out_channels, (1, 1), use_bias=False,
+                  dtype=self.dtype, act_quant=self.act_quant,
+                  name="project")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
 
         if not use_residual and in_channels != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
-                               name="skip")(residual)
+            residual = QConv(self.out_channels, (1, 1),
+                             strides=(self.stride, self.stride),
+                             use_bias=False, dtype=self.dtype,
+                             act_quant=self.act_quant, name="skip")(residual)
             h = h + residual
         elif use_residual:
             h = h + residual
@@ -207,6 +217,7 @@ class LinearAttentionBlock(nn.Module):
     num_heads: int = 4
     dim_head: int = 32
     use_pallas: bool = False
+    act_quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -216,16 +227,16 @@ class LinearAttentionBlock(nn.Module):
         residual = x
 
         h = GroupNorm(name="norm")(x)
-        qkv = nn.Conv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="to_qkv")(h)
+        qkv = QConv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                    act_quant=self.act_quant, name="to_qkv")(h)
         qkv = qkv.reshape(b, hgt * wid, 3, self.num_heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         out = linear_attention(q, k, v, use_pallas=self.use_pallas)
 
         out = out.reshape(b, hgt, wid, inner)
-        out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="to_out")(out)
+        out = QConv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                    act_quant=self.act_quant, name="to_out")(out)
         out = GroupNorm(name="out_norm")(out)
         return out + residual
 
@@ -242,6 +253,7 @@ class StandardAttentionBlock(nn.Module):
     num_heads: int = 4
     dim_head: int = 32
     use_pallas: bool = False
+    act_quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -251,8 +263,8 @@ class StandardAttentionBlock(nn.Module):
         residual = x
 
         h = GroupNorm(name="norm")(x)
-        qkv = nn.Conv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="to_qkv")(h)
+        qkv = QConv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                    act_quant=self.act_quant, name="to_qkv")(h)
         qkv = qkv.reshape(b, hgt * wid, 3, self.num_heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -263,8 +275,8 @@ class StandardAttentionBlock(nn.Module):
             out = standard_attention(q, k, v, scale=self.dim_head ** -0.5)
 
         out = out.reshape(b, hgt, wid, inner)
-        out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="to_out")(out)
+        out = QConv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                    act_quant=self.act_quant, name="to_out")(out)
         return out + residual
 
 
@@ -273,13 +285,15 @@ class Downsample(nn.Module):
     (``src/models/efficient_unet.py:360-372``)."""
 
     use_conv: bool = True
+    act_quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_conv:
-            return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=PAD1,
-                           dtype=self.dtype, name="conv")(x)
+            return QConv(x.shape[-1], (3, 3), strides=(2, 2), padding=PAD1,
+                         dtype=self.dtype, act_quant=self.act_quant,
+                         name="conv")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -287,6 +301,7 @@ class Upsample(nn.Module):
     """Bilinear ×2 (half-pixel centers ≡ torch align_corners=False) + 3×3 conv
     (``src/models/efficient_unet.py:375-384``)."""
 
+    act_quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -294,5 +309,5 @@ class Upsample(nn.Module):
         b, h, w, c = x.shape
         up = jax.image.resize(x.astype(jnp.float32), (b, h * 2, w * 2, c),
                               method="bilinear").astype(x.dtype)
-        return nn.Conv(c, (3, 3), padding=PAD1, dtype=self.dtype,
-                       name="conv")(up)
+        return QConv(c, (3, 3), padding=PAD1, dtype=self.dtype,
+                     act_quant=self.act_quant, name="conv")(up)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import UNetConfig, unet_config
+from ..ops.qconv import QConv
 from .blocks import (Downsample, InvertedResidualBlock, LinearAttentionBlock,
                      StandardAttentionBlock, TimeEmbedding, Upsample,
                      GroupNorm, PAD1)
@@ -53,11 +54,12 @@ class EfficientUNet(nn.Module):
             return LinearAttentionBlock(
                 num_heads=cfg.num_attention_heads,
                 dim_head=cfg.attention_head_dim,
-                use_pallas=cfg.use_pallas, dtype=self._dtype(), name=name)
+                use_pallas=cfg.use_pallas, act_quant=cfg.act_quant,
+                dtype=self._dtype(), name=name)
         return StandardAttentionBlock(
             num_heads=cfg.num_attention_heads,
             dim_head=cfg.attention_head_dim, use_pallas=cfg.use_pallas,
-            dtype=self._dtype(), name=name)
+            act_quant=cfg.act_quant, dtype=self._dtype(), name=name)
 
     def _irb(self, out_ch: int, name: str):
         cfg = self.config
@@ -68,6 +70,7 @@ class EfficientUNet(nn.Module):
             se_ratio=cfg.se_ratio,
             dropout=cfg.dropout,
             quantization_friendly=cfg.quantization_friendly,
+            act_quant=cfg.act_quant,
             dtype=self._dtype(), name=name)
 
     @nn.compact
@@ -82,8 +85,8 @@ class EfficientUNet(nn.Module):
         t_emb = TimeEmbedding(cfg.base_channels, cfg.time_embed_dim,
                               dtype=dtype, name="time_mlp")(timestep)
 
-        h = nn.Conv(channels[0], (3, 3), padding=PAD1, dtype=dtype,
-                    name="init_conv")(x)
+        h = QConv(channels[0], (3, 3), padding=PAD1, dtype=dtype,
+                  act_quant=cfg.act_quant, name="init_conv")(x)
 
         # ------------------------------------------------------------------
         # Encoder (``efficient_unet.py:423-464,556-570``)
@@ -98,7 +101,8 @@ class EfficientUNet(nn.Module):
                     h = self._attention(f"enc_attn_{level}_{block_idx}")(h)
             skips.append(h)
             if level < len(channels) - 1:
-                h = Downsample(dtype=dtype, name=f"down_{level}")(h)
+                h = Downsample(dtype=dtype, act_quant=cfg.act_quant,
+                               name=f"down_{level}")(h)
                 current_res //= 2
 
         # ------------------------------------------------------------------
@@ -114,7 +118,8 @@ class EfficientUNet(nn.Module):
         features: List[jnp.ndarray] = []
         for level, out_ch in enumerate(reversed(channels)):
             if level > 0:
-                h = Upsample(dtype=dtype, name=f"up_{level - 1}")(h)
+                h = Upsample(dtype=dtype, act_quant=cfg.act_quant,
+                             name=f"up_{level - 1}")(h)
             skip = skips.pop()
             h = jnp.concatenate([h, skip.astype(dtype)], axis=-1)
             for block_idx in range(cfg.num_res_blocks + 1):
@@ -131,8 +136,8 @@ class EfficientUNet(nn.Module):
         # Final head (``efficient_unet.py:528-530,599-602``)
         h = GroupNorm(name="final_norm")(h)
         h = jax.nn.silu(h)
-        h = nn.Conv(cfg.out_channels, (3, 3), padding=PAD1, dtype=dtype,
-                    name="final_conv")(h)
+        h = QConv(cfg.out_channels, (3, 3), padding=PAD1, dtype=dtype,
+                  act_quant=cfg.act_quant, name="final_conv")(h)
 
         if return_features:
             return h, features

@@ -1,0 +1,113 @@
+"""Quantizing convolution: optional int8 activation×weight compute.
+
+TPU-native counterpart of the reference's *executed* int8 inference
+(``/root/reference/src/export/quantization.py:144-271`` — qnnpack/fbgemm
+dynamic + static PTQ).  There the runtime quantizes per-op on a mobile CPU;
+here the int8 compute path is compiled into the XLA graph (AQT-style):
+
+    x_int8 = round(x / s_x)               (s_x static per module)
+    y_int32 = conv(x_int8, w_int8)        (MXU int8, preferred int32)
+    y = y_int32 * (s_x * s_w[c])          (dequant fused into the conv output)
+
+Scale provenance:
+
+* **Static bound** — modules whose input is ReLU6-clipped (the IRB expand /
+  depthwise / project chain under ``quantization_friendly=True``) have a
+  *known* input range [0, 6]; their scale is fixed at 6/127 with no
+  calibration at all.  This is the pay-off of the reference's
+  "quantization friendly" design knob.
+* **Calibrated amax** — every other module records its input absmax into the
+  ``act_scales`` flax collection when applied with
+  ``mutable=["act_scales"]`` (the PTQ calibration pass,
+  :func:`cv_diffusion_tpu.export.quantization.calibrate_act_scales`).
+
+With ``act_quant=False`` (default, training) the module is numerically and
+structurally identical to ``flax.linen.Conv`` (same param names/shapes, same
+initializers), so trained checkpoints load directly into the quantized model.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+PaddingLike = Union[str, Sequence[Tuple[int, int]]]
+
+
+class QConv(nn.Module):
+    """``nn.Conv``-compatible conv with an optional int8 compute path."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (1, 1)
+    strides: Tuple[int, int] = (1, 1)
+    padding: PaddingLike = "VALID"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    # int8 path -----------------------------------------------------------
+    act_quant: bool = False
+    # Known static input bound (e.g. 6.0 after ReLU6); None = calibrate.
+    act_bound: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel_shape = self.kernel_size + (
+            in_features // self.feature_group_count, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            kernel_shape, jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+
+        if not self.act_quant:
+            y = self._float_conv(x, kernel)
+        else:
+            y = self._int8_conv(x, kernel)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+    # ------------------------------------------------------------------
+    def _conv(self, x, kernel, ptype=None):
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, kernel, self.strides, self.padding, dimension_numbers=dn,
+            feature_group_count=self.feature_group_count,
+            preferred_element_type=ptype)
+
+    def _float_conv(self, x, kernel):
+        dtype = jnp.dtype(self.dtype)
+        return self._conv(x.astype(dtype), kernel.astype(dtype))
+
+    def _int8_conv(self, x, kernel):
+        init_amax = float(self.act_bound) if self.act_bound is not None else 0.0
+        amax = self.variable("act_scales", "amax",
+                             lambda: jnp.asarray(init_amax, jnp.float32))
+        calibrating = (self.is_mutable_collection("act_scales")
+                       and self.act_bound is None
+                       and not self.is_initializing())
+        if calibrating:
+            amax.value = jnp.maximum(
+                amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        # During calibration (and for any module still at amax==0, i.e.
+        # uncalibrated) run the float path so recorded stats are exact.
+        if calibrating:
+            return self._float_conv(x, kernel)
+
+        s_x = jnp.maximum(amax.value, 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+
+        k32 = kernel.astype(jnp.float32)
+        k_absmax = jnp.max(jnp.abs(k32), axis=(0, 1, 2))  # per out channel
+        s_w = jnp.maximum(k_absmax / 127.0, 1e-12)
+        kq = jnp.clip(jnp.round(k32 / s_w), -127, 127).astype(jnp.int8)
+
+        y32 = self._conv(xq, kq, ptype=jnp.int32)
+        y = y32.astype(jnp.float32) * (s_x * s_w)
+        return y.astype(jnp.dtype(self.dtype))
