@@ -39,16 +39,54 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--params-dtype", default="bf16",
                    help="bf16 (serving default) or fp32")
+    p.add_argument("--sweep", action="store_true",
+                   help="Run the regression sweep (8-step, 512², tiny/base "
+                        "rows) instead of the single headline config; prints "
+                        "one JSON line per config")
     args = p.parse_args()
 
-    cfg = diffusion_config(args.variant, image_size=args.image_size,
-                           num_inference_steps=args.steps, dtype=args.dtype)
+    if args.sweep:
+        return run_sweep(args)
+
+    result = run_config(args.variant, args.image_size, args.steps, args.batch,
+                        args.iters, args.warmup, args.dtype, args.params_dtype)
+    print(json.dumps(result))
+
+
+# (variant, image_size, steps, batch) — batches sized to the 16G HBM ceiling
+# (small@256 OOMs above b128; 512² has 4x the activation traffic).
+SWEEP_CONFIGS = [
+    ("small", 256, 4, 128),
+    ("small", 256, 8, 128),
+    ("small", 512, 4, 32),
+    ("tiny", 256, 4, 128),
+    ("base", 256, 4, 64),
+]
+
+
+def run_sweep(args):
+    """Per-config rows recorded each round so cross-config perf regressions
+    are visible (VERDICT r1 item 10)."""
+    for variant, size, steps, batch in SWEEP_CONFIGS:
+        try:
+            result = run_config(variant, size, steps, batch, args.iters,
+                                args.warmup, args.dtype, args.params_dtype)
+        except Exception as e:  # OOM on smaller chips: record, keep going
+            result = {"metric": f"{variant}_{steps}step_{size}px_enhance_"
+                                f"throughput", "error": str(e)[:200]}
+        print(json.dumps(result), flush=True)
+
+
+def run_config(variant, image_size, steps, batch, iters, warmup, dtype,
+               params_dtype):
+    cfg = diffusion_config(variant, image_size=image_size,
+                           num_inference_steps=steps, dtype=dtype)
     model, schedule = create_model(cfg)
 
     # Keep every device op inside jit: eager dispatch is pathologically slow
     # on remotely-compiled backends.
     variables = jax.jit(lambda k: init_model(model, k))(jax.random.key(0))
-    if args.params_dtype in ("bf16", "bfloat16"):
+    if params_dtype in ("bf16", "bfloat16"):
         # bf16 weights = the shipped serving quantization; halves weight
         # reads (measured +3% throughput at batch 128).
         from cv_diffusion_tpu.export.quantization import quantize_bf16
@@ -56,23 +94,23 @@ def main():
     jax.block_until_ready(variables)
 
     make_low = jax.jit(lambda k: jax.random.uniform(
-        k, (args.batch, args.image_size, args.image_size, 3),
+        k, (batch, image_size, image_size, 3),
         minval=-1.0, maxval=-0.5))
     low = make_low(jax.random.key(1))
 
     enh = jax.jit(lambda v, k, x: enhance(model, schedule, v, k, x,
-                                          num_inference_steps=args.steps))
+                                          num_inference_steps=steps))
 
     # Warmup / compile
     out = enh(variables, jax.random.key(2), low)
     out.block_until_ready()
-    for i in range(args.warmup):
+    for i in range(warmup):
         out = enh(variables, jax.random.key(3 + i), low)
     out.block_until_ready()
 
     # Timed
     times = []
-    for i in range(args.iters):
+    for i in range(iters):
         t0 = time.perf_counter()
         out = enh(variables, jax.random.key(100 + i), low)
         out.block_until_ready()
@@ -80,14 +118,14 @@ def main():
 
     times.sort()
     p50 = times[len(times) // 2]
-    img_per_sec = args.batch / p50
+    img_per_sec = batch / p50
 
-    print(json.dumps({
-        "metric": f"{args.variant}_{args.steps}step_{args.image_size}px_enhance_throughput",
+    return {
+        "metric": f"{variant}_{steps}step_{image_size}px_enhance_throughput",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
-    }))
+    }
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ devices land on the outer (data) axis when running multi-slice.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -25,6 +26,65 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+
+_distributed_initialized = False
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host runtime init (``jax.distributed.initialize``).
+
+    The reference is strictly single-process (SURVEY §5 names this gap); this
+    is the one-env-away entry point for real multi-slice runs:
+
+    * explicit args, or ``CVDM_COORDINATOR`` / ``CVDM_NUM_PROCESSES`` /
+      ``CVDM_PROCESS_ID`` env vars, start the JAX coordination service;
+    * on TPU pods with no args, ``jax.distributed.initialize()`` auto-detects
+      from the TPU metadata — triggered by ``CVDM_DISTRIBUTED=1``;
+    * in single-process runs (tests, the axon chip) it is a no-op → False.
+
+    Call before any other JAX API; after it, ``jax.devices()`` spans the pod
+    and the mesh builders below lay slices out DCN-aware.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    coordinator_address = (coordinator_address
+                           or os.environ.get("CVDM_COORDINATOR"))
+    auto = os.environ.get("CVDM_DISTRIBUTED", "0") == "1"
+    if coordinator_address is None and not auto:
+        return False
+    if coordinator_address is not None:
+        if num_processes is None:
+            num_processes = int(os.environ["CVDM_NUM_PROCESSES"])
+        if process_id is None:
+            process_id = int(os.environ["CVDM_PROCESS_ID"])
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    else:
+        jax.distributed.initialize()
+    _distributed_initialized = True
+    return True
+
+
+def make_hybrid_mesh(ici_shape: Tuple[int, ...],
+                     dcn_shape: Tuple[int, ...],
+                     axis_names: Tuple[str, ...] = (DATA_AXIS, SPATIAL_AXIS)
+                     ) -> Mesh:
+    """DCN-aware multi-slice mesh.
+
+    ``dcn_shape`` partitions the *slice* grid (inter-slice traffic rides the
+    data-center network), ``ici_shape`` the within-slice grid (ICI).  Keep
+    the data axis on DCN (gradient all-reduce is latency-tolerant) and any
+    spatial/model axes on ICI (halo exchanges are latency-bound) — the
+    scaling-book recipe.  Per-axis device count = ici_shape[i] * dcn_shape[i].
+    """
+    from jax.experimental import mesh_utils
+
+    devs = mesh_utils.create_hybrid_device_mesh(
+        ici_shape, dcn_shape, devices=jax.devices())
+    return Mesh(devs, axis_names)
 
 
 def make_mesh(shape: Optional[Tuple[int, ...]] = None,
@@ -71,6 +131,33 @@ def shard_batch(mesh: Mesh, batch):
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def pad_batch(batch, multiple: int):
+    """Pad a host batch pytree along axis 0 to a multiple (for ragged final
+    eval batches), returning ``(padded_batch, n_valid)``.
+
+    Padding repeats the last element so the padded rows stay numerically
+    in-distribution (no NaN/inf risk under the model); the caller masks them
+    out of the loss/metric with ``n_valid``.  The TPU-native answer to the
+    reference's implicit drop-last-free eval (``src/training/trainer.py:
+    340-363``): every batch keeps a single static shape → one compiled
+    program, sharded over the full mesh.
+    """
+    leaves = jax.tree_util.tree_leaves(batch)
+    if not leaves:
+        return batch, 0
+    n = leaves[0].shape[0]
+    target = -(-n // max(1, multiple)) * max(1, multiple)
+    if target == n:
+        return batch, n
+
+    def pad(x):
+        x = np.asarray(x)
+        reps = np.repeat(x[-1:], target - n, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    return jax.tree_util.tree_map(pad, batch), n
 
 
 def auto_mesh(batch_size: int) -> Optional[Mesh]:

@@ -174,20 +174,44 @@ def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
 def make_eval_step(model: LowLightDiffusion, schedule: LCMSchedule,
                    config: TrainConfig,
                    mesh: Optional[Mesh] = None) -> Callable:
-    """Validation loss on EMA (or raw) params.
+    """Validation loss on EMA (or raw) params — mesh-sharded like training.
 
     Faithful to the reference: validation loss is **mse** regardless of the
     training loss type (``src/training/trainer.py:356`` hardcodes it).
+
+    Ragged final batches (no drop_last) are handled by padding on the host
+    (``parallel.mesh.pad_batch``) and masking here: the returned callable
+    takes an optional ``n_valid`` — per-example mse is averaged over the
+    first ``n_valid`` rows only, so padded rows contribute nothing and every
+    batch shares one static shape / one compiled, fully-sharded program.
     """
 
-    def eval_fn(params, rng: jax.Array, batch: Dict[str, jnp.ndarray]
-                ) -> jnp.ndarray:
+    def eval_fn(params, rng: jax.Array, batch: Dict[str, jnp.ndarray],
+                n_valid: jnp.ndarray) -> jnp.ndarray:
         out = train_forward(model, schedule, {"params": params}, rng,
                             batch["low_light"], batch["normal_light"],
                             train=False)
-        return diffusion_loss(out["noise_pred"], out["noise"], "mse")
+        err = (out["noise_pred"].astype(jnp.float32)
+               - out["noise"].astype(jnp.float32))
+        per_example = jnp.mean(err * err, axis=(1, 2, 3))
+        mask = jnp.arange(per_example.shape[0]) < n_valid
+        return jnp.sum(per_example * mask) / jnp.maximum(n_valid, 1)
 
-    # No pinned shardings: eval batches can be ragged (no drop_last), so let
-    # sharding propagate from however ``shard_batch`` placed the inputs.
-    del mesh
-    return jax.jit(eval_fn)
+    if mesh is None:
+        jitted = jax.jit(eval_fn)
+    else:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+        repl = replicated_sharding(mesh)
+        jitted = jax.jit(
+            eval_fn,
+            in_shardings=(repl, repl, batch_sharding(mesh), repl),
+            out_shardings=repl,
+        )
+
+    def call(params, rng, batch, n_valid: Optional[int] = None):
+        if n_valid is None:
+            n_valid = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        return jitted(params, rng, batch,
+                      jnp.asarray(n_valid, jnp.float32))
+
+    return call

@@ -196,16 +196,28 @@ class Trainer:
 
     def validate(self) -> float:
         """Validation under EMA weights; loss is mse (faithful to
-        ``trainer.py:340-363``), plus PSNR/SSIM on x̂₀-free proxy pairs."""
+        ``trainer.py:340-363``).
+
+        Ragged final batches are padded to the training batch size
+        (``pad_batch``) and masked inside the sharded eval step, so every
+        batch runs the same compiled program over the full mesh; the returned
+        loss is the per-image mean over real images only.
+        """
+        from ..parallel.mesh import pad_batch
+
         params = self._eval_params()
         rng = jax.random.key(12345)
         total = 0.0
         count = 0
         for batch in tqdm(self.val_loader, desc="Validation"):
-            dev_batch = self._device_batch(batch)
+            arrays = {"low_light": batch["low_light"],
+                      "normal_light": batch["normal_light"]}
+            arrays, n_valid = pad_batch(arrays, self.config.batch_size)
+            dev_batch = self._device_batch(arrays)
             rng, k = jax.random.split(rng)
-            total += float(self.eval_step(params, k, dev_batch))
-            count += 1
+            total += float(self.eval_step(params, k, dev_batch,
+                                          n_valid)) * n_valid
+            count += n_valid
         return total / max(1, count)
 
     def evaluate_quality(self, num_inference_steps: int = 4,

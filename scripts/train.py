@@ -55,6 +55,10 @@ def main():
     p.add_argument("--wandb_project", type=str,
                    default="low-light-diffusion-tpu")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="Multi-host: jax.distributed.initialize from "
+                        "CVDM_COORDINATOR/CVDM_NUM_PROCESSES/CVDM_PROCESS_ID "
+                        "(or TPU-pod auto-detect)")
     # Config file (actually parsed, unlike the reference)
     p.add_argument("--config", type=str, default=None,
                    help="YAML config; CLI flags override")
@@ -93,6 +97,10 @@ def main():
         data_dir, use_synth = args.data_dir, args.use_synthetic
         # empty / "none" disables validation
         val_dir = args.val_dir if args.val_dir not in ("", "none", None) else None
+
+    if args.distributed:
+        from cv_diffusion_tpu.parallel import distributed_init
+        distributed_init()
 
     from cv_diffusion_tpu.training import train_model
     train_model(data_dir, val_dir, config, use_synthetic=use_synth)
