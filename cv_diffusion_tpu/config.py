@@ -59,6 +59,10 @@ class UNetConfig:
     #     int8 path — reference ``src/export/quantization.py:144-271``).
     dtype: str = "float32"
     use_pallas: bool = False
+    #   use_pallas_irb: inference-time fused IRB Pallas kernel (one HBM read
+    #     of x + one write of out per block instead of XLA's hidden-tensor
+    #     round trips). Training and init always use the XLA path.
+    use_pallas_irb: bool = False
     act_quant: bool = False
 
     @property

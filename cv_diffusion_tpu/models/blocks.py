@@ -146,6 +146,7 @@ class InvertedResidualBlock(nn.Module):
     dropout: float = 0.0
     quantization_friendly: bool = True
     act_quant: bool = False
+    use_pallas_irb: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -159,14 +160,9 @@ class InvertedResidualBlock(nn.Module):
         # range (no calibration); SiLU/unbounded inputs calibrate an amax.
         bound6 = 6.0 if self.quantization_friendly else None
 
-        h = GroupNorm(name="norm1")(x)
-        h = activation(h, self.quantization_friendly)
-        h = QConv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
-                  act_quant=self.act_quant, act_bound=bound6,
-                  name="expand")(h)
-
         # FiLM: scale/shift from SiLU → Dense(2*hidden)
         # (``efficient_unet.py:189-191,214-217``); fused with the second GN.
+        # Computed up front so both execution paths share it.
         t = nn.Dense(hidden * 2, dtype=self.dtype, name="time_mlp")(
             jax.nn.silu(time_emb))
         film_scale, film_shift = jnp.split(t, 2, axis=-1)
@@ -174,6 +170,40 @@ class InvertedResidualBlock(nn.Module):
                               (hidden,), jnp.float32)
         gn_bias = self.param("norm2_bias", nn.initializers.zeros,
                              (hidden,), jnp.float32)
+
+        # Inference fast path: the whole IRB chain as one Pallas kernel
+        # (ops/pallas_irb.fused_irb_v2) — one HBM read of x + one write of
+        # out instead of round-tripping the 4x-wide hidden.  Init and
+        # training run the standard XLA path (same math, autodiff-friendly),
+        # so the param structure is identical and checkpoints are shared.
+        if (self.use_pallas_irb and self.stride == 1 and not train
+                and not self.act_quant and not self.is_initializing()):
+            from ..ops.pallas_irb import fused_irb_v2
+
+            p = self.variables["params"]
+            kw = dict(
+                wexp=p["expand"]["kernel"][0, 0],
+                wdw=p["depthwise"]["kernel"],
+                wproj=p["project"]["kernel"][0, 0],
+                gn1_scale=p["norm1"]["scale"], gn1_bias=p["norm1"]["bias"],
+                gn2_scale=gn_scale, gn2_bias=gn_bias,
+                film_scale=film_scale, film_shift=film_shift,
+                silu=not self.quantization_friendly, use_se=self.use_se)
+            if self.use_se:
+                kw.update(se_w1=p["se"]["fc1"]["kernel"],
+                          se_b1=p["se"]["fc1"]["bias"],
+                          se_w2=p["se"]["fc2"]["kernel"],
+                          se_b2=p["se"]["fc2"]["bias"])
+            if not use_residual and in_channels != self.out_channels:
+                kw["wskip"] = p["skip"]["kernel"][0, 0]
+            return fused_irb_v2(x, **kw)
+
+        h = GroupNorm(name="norm1")(x)
+        h = activation(h, self.quantization_friendly)
+        h = QConv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                  act_quant=self.act_quant, act_bound=bound6,
+                  name="expand")(h)
+
         h = group_norm_film(h, gn_scale, gn_bias, film_scale, film_shift,
                             gn_num_groups(hidden))
 

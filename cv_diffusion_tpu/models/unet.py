@@ -71,6 +71,7 @@ class EfficientUNet(nn.Module):
             dropout=cfg.dropout,
             quantization_friendly=cfg.quantization_friendly,
             act_quant=cfg.act_quant,
+            use_pallas_irb=cfg.use_pallas_irb,
             dtype=self._dtype(), name=name)
 
     @nn.compact

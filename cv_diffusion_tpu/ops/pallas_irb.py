@@ -372,3 +372,347 @@ def irb_params_from_flax(irb_params: dict):
     if "skip" in p:
         args["wskip"] = p["skip"]["kernel"][0, 0]
     return args
+
+
+# ======================================================================
+# v2: phase-merged fused IRB (the round-2 redesign the v1 docstring plans)
+# ======================================================================
+#
+# What changed vs v1 (measured 1.3x slower than XLA):
+#
+#   * GN statistics leave the kernel entirely.  GN1 stats are a cheap fused
+#     XLA reduction over x.  GN2 stats come from the Gram identity
+#     sum_p h1_c^2 = w_c^T (x̂^T x̂) w_c  — one [Cin+1, Cin+1] augmented-Gram
+#     matmul over x̂ = act(gn1 x) gives every per-channel first and second
+#     moment of h1 = x̂ W_exp WITHOUT computing h1, so both GroupNorms fold
+#     into per-(batch, channel) affine scales the kernel just applies.
+#   * The SE global-average pool over h3 = dwconv(h2) is computed EXACTLY
+#     from h2 edge sums:  sum_p h3 = Σ_{dy,dx} w[dy,dx] · T(dy,dx)  where
+#     each T is the h2 total minus one edge row/col (± a corner) — so the SE
+#     gate needs h2, not h3, and the dwconv runs ONCE instead of twice.
+#   * Grid collapses from (B, 4, tiles) to (B, 2, tiles) — (B, 1, tiles)
+#     without SE — and MXU dots take bf16 operands (f32 accumulate) instead
+#     of f32, halving VMEM pressure and step count ~4x at the bench batch.
+#
+# Per-tile work: phase 0 = expand dot + act (SE edge accumulation);
+# phase 1 = expand dot (+2 halo rows) + 9-tap dwconv + project dot + write.
+# HBM traffic per block: read x (+scales/weights) + write out — the 4-6
+# round trips over the 4x-wide hidden that XLA materializes are gone.
+
+
+def _kernel_v2(x_ref,       # [1, H+2, W, Cin] (zero-padded rows, resident)
+               s1_ref,      # [1, 2, Cin]  folded GN1 affine (a, b)
+               s2_ref,      # [1, 2, Chid] folded GN2+FiLM affine (a, b)
+               wexp_ref,    # [Cin, Chid]
+               wdw_ref,     # [3, 3, Chid]
+               wproj_ref,   # [Chid, Cout]
+               wskip_ref,   # [Cin, Cout] (zeros when identity residual)
+               se1_ref, se1b_ref, se2_ref, se2b_ref,
+               o_ref,       # [1, th, W, Cout]
+               edge, gate,  # scratch: [9, Chid] f32, [1, Chid] f32
+               *, tile_h: int, height: int, width: int, cin: int,
+               chid: int, cout: int, silu: bool, has_skip: bool,
+               use_se: bool, n_phases: int):
+    phase = pl.program_id(1)
+    ti = pl.program_id(2)
+    n_tiles = pl.num_programs(2)
+    out_phase = n_phases - 1
+
+    def act(v):
+        if silu:
+            return v * jax.nn.sigmoid(v)
+        return jnp.clip(v, 0.0, 6.0)
+
+    # bf16 MXU operands when the model runs bf16; f32 for f32 parity
+    dot_t = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    def x_rows(halo: bool):
+        """Rows of padded x for tile ti (interior at [ti*th+1, ti*th+th+1))."""
+        start = ti * tile_h
+        if halo:
+            return x_ref[0, pl.ds(start, tile_h + 2)]
+        return x_ref[0, pl.ds(start + 1, tile_h)]
+
+    def h2_rows(halo: bool):
+        """h2 = act(a2 · (x̂ W_exp) + b2) for the tile (f32)."""
+        rows = tile_h + 2 if halo else tile_h
+        xt = x_rows(halo).astype(jnp.float32)
+        xhat = act(xt * s1_ref[0, 0].astype(jnp.float32)
+                   + s1_ref[0, 1].astype(jnp.float32))
+        h1 = jnp.dot(xhat.astype(dot_t).reshape(rows * width, cin),
+                     wexp_ref[:].astype(dot_t),
+                     preferred_element_type=jnp.float32)
+        h1 = h1.reshape(rows, width, chid)
+        return act(h1 * s2_ref[0, 0].astype(jnp.float32)
+                   + s2_ref[0, 1].astype(jnp.float32))
+
+    # ---- phase 0 (only when use_se): exact SE pool from h2 edge sums ----
+    if use_se:
+        @pl.when(jnp.logical_and(phase == 0, ti == 0))
+        def _():
+            edge[:] = jnp.zeros_like(edge)
+
+        @pl.when(phase == 0)
+        def _():
+            h2 = h2_rows(False)                      # [th, W, Chid]
+            edge[0:1] += jnp.sum(h2, axis=(0, 1))[None]
+            edge[3:4] += jnp.sum(h2[:, 0, :], axis=0)[None]
+            edge[4:5] += jnp.sum(h2[:, width - 1, :], axis=0)[None]
+
+            @pl.when(ti == 0)
+            def _():
+                edge[1:2] = jnp.sum(h2[0:1], axis=(0, 1))[None]
+                edge[5:6] = h2[0, 0, :][None]
+                edge[6:7] = h2[0, width - 1, :][None]
+
+            @pl.when(ti == n_tiles - 1)
+            def _():
+                edge[2:3] = jnp.sum(h2[tile_h - 1:tile_h], axis=(0, 1))[None]
+                edge[7:8] = h2[tile_h - 1, 0, :][None]
+                edge[8:9] = h2[tile_h - 1, width - 1, :][None]
+
+        @pl.when(jnp.logical_and(phase == 0, ti == n_tiles - 1))
+        def _():
+            w = wdw_ref[:].astype(jnp.float32)       # [3, 3, Chid]
+            tot = edge[0]
+            row0, row_h = edge[1], edge[2]
+            col0, col_w = edge[3], edge[4]
+            c00, c0w, ch0, chw = edge[5], edge[6], edge[7], edge[8]
+            pooled = jnp.zeros((chid,), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    t = tot
+                    if dy == 0:
+                        t = t - row_h
+                    elif dy == 2:
+                        t = t - row0
+                    if dx == 0:
+                        t = t - col_w
+                    elif dx == 2:
+                        t = t - col0
+                    # corner double-subtracted when both an edge row and an
+                    # edge col are excluded → add it back once
+                    if dy == 0 and dx == 0:
+                        t = t + chw
+                    elif dy == 0 and dx == 2:
+                        t = t + ch0
+                    elif dy == 2 and dx == 0:
+                        t = t + c0w
+                    elif dy == 2 and dx == 2:
+                        t = t + c00
+                    pooled = pooled + w[dy, dx] * t
+            pooled = pooled / jnp.float32(height * width)
+            s = jnp.dot(pooled[None].astype(jnp.float32), se1_ref[:].astype(
+                jnp.float32), preferred_element_type=jnp.float32)
+            s = act(s + se1b_ref[:].astype(jnp.float32))
+            s = jnp.dot(s, se2_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+            gate[:] = jax.nn.sigmoid(s + se2b_ref[:].astype(jnp.float32))
+
+    # ---- output phase: dwconv once, gate, project, residual, write ------
+    @pl.when(phase == out_phase)
+    def _():
+        h2 = h2_rows(True)                           # [th+2, W, Chid]
+        # halo rows outside the real image are zero h2 rows (torch zero-pads
+        # the depthwise INPUT) — never gn/act of a zero x row
+        row = (jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, 1, 1), 0)
+               + ti * tile_h - 1)
+        h2 = jnp.where((row >= 0) & (row < height), h2, 0.0)
+        h2p = jnp.pad(h2, ((0, 0), (1, 1), (0, 0)))  # zero-pad W
+        w = wdw_ref[:].astype(jnp.float32)
+        h3 = h2p[0:tile_h, 0:width, :] * w[0, 0]
+        for dy in range(3):
+            for dx in range(3):
+                if dy == 0 and dx == 0:
+                    continue
+                h3 = h3 + h2p[dy:dy + tile_h, dx:dx + width, :] * w[dy, dx]
+        if use_se:
+            h3 = h3 * gate[0]
+        out = jnp.dot(h3.astype(dot_t).reshape(tile_h * width, chid),
+                      wproj_ref[:].astype(dot_t),
+                      preferred_element_type=jnp.float32)
+        out = out.reshape(tile_h, width, cout)
+        xt = x_rows(False).astype(jnp.float32)
+        if has_skip:
+            res = jnp.dot(xt.astype(dot_t).reshape(
+                tile_h * width, cin), wskip_ref[:].astype(dot_t),
+                preferred_element_type=jnp.float32)
+            out = out + res.reshape(tile_h, width, cout)
+        else:
+            out = out + xt
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _folded_gn_scales(x, wexp, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+                      film_scale, film_shift, eps, silu):
+    """XLA-side GN folding: per-(batch, channel) affine (a, b) pairs.
+
+    GN1 stats are one fused f32 reduction over x; GN2 stats use the
+    augmented-Gram identity on x̂ = act(gn1 x):
+
+        Σ_p h1_c   = (Σ_p x̂_p) · w_c
+        Σ_p h1_c²  = w_cᵀ (x̂ᵀ x̂) w_c
+
+    so h1 = x̂ W_exp is never materialized.  Costs ~2 fused passes over x
+    plus O(Cin²·Chid) MXU flops — negligible beside the hidden-tensor round
+    trips it eliminates.
+    """
+    b, height, width, cin = x.shape
+    chid = wexp.shape[1]
+    g1 = gn_num_groups(cin)
+    g2 = gn_num_groups(chid)
+    n = height * width
+    xf = x.astype(jnp.float32)
+
+    # --- GN1 (plain fused reduce) ---
+    xg = xf.reshape(b, n, g1, cin // g1)
+    mean1 = jnp.mean(xg, axis=(1, 3))                            # [B, G1]
+    var1 = jnp.maximum(jnp.mean(xg * xg, axis=(1, 3))
+                       - mean1 * mean1, 0.0)
+    rstd1 = jax.lax.rsqrt(var1 + eps)
+    mean1c = jnp.repeat(mean1, cin // g1, axis=1)                # [B, Cin]
+    rstd1c = jnp.repeat(rstd1, cin // g1, axis=1)
+    a1 = rstd1c * gn1_scale.astype(jnp.float32)[None]
+    b1 = (gn1_bias.astype(jnp.float32)[None] - mean1c * a1)
+
+    # --- GN2 via augmented Gram of x̂ ---
+    def act(v):
+        if silu:
+            return v * jax.nn.sigmoid(v)
+        return jnp.clip(v, 0.0, 6.0)
+
+    xhat = act(xf * a1[:, None, None, :] + b1[:, None, None, :])
+    aug = jnp.concatenate(
+        [xhat.reshape(b, n, cin),
+         jnp.ones((b, n, 1), jnp.float32)], axis=-1)
+    gram = jnp.einsum("bpc,bpd->bcd", aug, aug)                  # [B, C+1, C+1]
+    g = gram[:, :cin, :cin]
+    asum = gram[:, cin, :cin]                                    # Σ_p x̂
+    wf = wexp.astype(jnp.float32)
+    m1 = jnp.einsum("bc,ce->be", asum, wf) / n                   # E[h1_c]
+    gw = jnp.einsum("bcd,de->bce", g, wf)
+    m2 = jnp.einsum("ce,bce->be", wf, gw) / n                    # E[h1_c²]
+    mg = jnp.mean(m1.reshape(b, g2, chid // g2), axis=2)         # [B, G2]
+    eg2 = jnp.mean(m2.reshape(b, g2, chid // g2), axis=2)
+    var2 = jnp.maximum(eg2 - mg * mg, 0.0)
+    rstd2 = jax.lax.rsqrt(var2 + eps)
+    mean2c = jnp.repeat(mg, chid // g2, axis=1)                  # [B, Chid]
+    rstd2c = jnp.repeat(rstd2, chid // g2, axis=1)
+
+    fs = 1.0 + film_scale.astype(jnp.float32)
+    fb = film_shift.astype(jnp.float32)
+    gamma2 = gn2_scale.astype(jnp.float32)[None]
+    beta2 = gn2_bias.astype(jnp.float32)[None]
+    a2 = rstd2c * gamma2 * fs
+    b2 = (beta2 - mean2c * rstd2c * gamma2) * fs + fb
+    s1 = jnp.stack([a1, b1], axis=1)                             # [B, 2, Cin]
+    s2 = jnp.stack([a2, b2], axis=1)                             # [B, 2, Chid]
+    return s1, s2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "silu", "use_se", "tile_h",
+                                    "interpret"))
+def fused_irb_v2(x: jnp.ndarray,
+                 wexp: jnp.ndarray, wdw: jnp.ndarray, wproj: jnp.ndarray,
+                 gn1_scale: jnp.ndarray, gn1_bias: jnp.ndarray,
+                 gn2_scale: jnp.ndarray, gn2_bias: jnp.ndarray,
+                 film_scale: jnp.ndarray, film_shift: jnp.ndarray,
+                 se_w1: Optional[jnp.ndarray] = None,
+                 se_b1: Optional[jnp.ndarray] = None,
+                 se_w2: Optional[jnp.ndarray] = None,
+                 se_b2: Optional[jnp.ndarray] = None,
+                 wskip: Optional[jnp.ndarray] = None,
+                 eps: float = 1e-5, silu: bool = False, use_se: bool = True,
+                 tile_h: int = 32,
+                 interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Phase-merged fused stride-1 IRB forward (inference path).
+
+    Same signature/semantics as ``fused_irb``; see the section comment for
+    the redesign.  ``interpret``: None = auto (Pallas interpreter on CPU —
+    tests / the virtual mesh — compiled Mosaic on TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    b, height, width, cin = x.shape
+    chid = wexp.shape[1]
+    cout = wproj.shape[1]
+
+    tile = min(tile_h, height)
+    while height % tile:
+        tile -= 1
+    n_tiles = height // tile
+
+    has_skip = wskip is not None
+    if wskip is None:
+        assert cin == cout, (cin, cout)
+        wskip = jnp.zeros((cin, cout), x.dtype)
+    if se_w1 is None:
+        se_w1 = jnp.zeros((chid, 1), x.dtype)
+        se_b1 = jnp.zeros((1,), x.dtype)
+        se_w2 = jnp.zeros((1, chid), x.dtype)
+        se_b2 = jnp.zeros((chid,), x.dtype)
+    csq = se_w1.shape[1]
+
+    s1, s2 = _folded_gn_scales(x, wexp, gn1_scale, gn1_bias, gn2_scale,
+                               gn2_bias, film_scale, film_shift, eps, silu)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    wdw3 = wdw.reshape(3, 3, chid)
+    n_phases = 2 if use_se else 1
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda bi, ph, ti: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_batch(shape):
+        return pl.BlockSpec(shape,
+                            lambda bi, ph, ti: (bi,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel_v2, tile_h=tile, height=height, width=width, cin=cin,
+        chid=chid, cout=cout, silu=silu, has_skip=has_skip, use_se=use_se,
+        n_phases=n_phases)
+
+    kwargs = {}
+    if interpret:
+        kwargs["interpret"] = True
+    else:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_phases, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, height + 2, width, cin),
+                         lambda bi, ph, ti: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            per_batch((1, 2, cin)),
+            per_batch((1, 2, chid)),
+            const((cin, chid)),
+            const((3, 3, chid)),
+            const((chid, cout)),
+            const((cin, cout)),
+            const((chid, csq)),
+            const((1, csq)),
+            const((csq, chid)),
+            const((1, chid)),
+        ],
+        # During the SE phase no output tile is written; mapping every phase-0
+        # step to block 0 keeps Mosaic from flushing n_tiles garbage blocks
+        # (same index → no copy-back until the real output phase).
+        out_specs=pl.BlockSpec(
+            (1, tile, width, cout),
+            (lambda bi, ph, ti: (bi, ti, 0, 0)) if n_phases == 1
+            else (lambda bi, ph, ti: (bi, ph * ti, 0, 0)),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, height, width, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((9, chid), jnp.float32),
+            pltpu.VMEM((1, chid), jnp.float32),
+        ],
+        **kwargs,
+    )(xp, s1, s2, wexp, wdw3, wproj, wskip,
+      se_w1, se_b1.reshape(1, -1), se_w2, se_b2.reshape(1, -1))

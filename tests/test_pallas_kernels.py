@@ -170,3 +170,54 @@ def test_flash_attention_matches_standard():
     ref = standard_attention(q, k, v, scale=32 ** -0.5)
     out = standard_attention_flash(q, k, v, scale=32 ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestFusedIRBv2(TestFusedIRB):
+    """Phase-merged v2 kernel vs the flax block (interpret mode).
+
+    Inherits the v1 cases; only the kernel entry point changes (v2 exposes
+    its own ``interpret`` flag, no monkeypatching needed — the _patch hook
+    is kept as a no-op for the inherited tests)."""
+
+    def _run(self, pirb, x, fs, fb, args, quant, **kw):
+        kw.pop("tile_h", None)
+        return pirb.fused_irb_v2(x, film_scale=fs, film_shift=fb,
+                                 silu=not quant, interpret=True,
+                                 tile_h=8, **args, **kw)
+
+    def _patch(self, monkeypatch, pirb_mod):
+        pass
+
+    def test_bf16(self):
+        pirb, x, fs, fb, args, ref, quant = self._setup()
+        xb = x.astype(jnp.bfloat16)
+        out = self._run(pirb, xb, fs, fb, args, quant)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   np.asarray(ref), atol=5e-2)
+
+    def test_uneven_tile(self):
+        # height 24 with tile_h 8 → 3 tiles; also exercises odd W edge sums
+        pirb, x, fs, fb, args, ref, quant = self._setup(size=24)
+        out = self._run(pirb, x, fs, fb, args, quant)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+
+def test_unet_with_use_pallas_irb_flag():
+    """use_pallas_irb routes every stride-1 IRB through fused_irb_v2 at
+    inference; outputs must match the XLA path on the same params."""
+    from cv_diffusion_tpu.models import create_efficient_unet, init_unet
+
+    unet = create_efficient_unet("tiny", image_size=32, in_channels=6,
+                                 use_pallas_irb=True)
+    variables = init_unet(unet, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 6))
+    t = jnp.asarray([5, 700], dtype=jnp.int32)
+    y = unet.apply(variables, x, t)
+
+    unet_ref = create_efficient_unet("tiny", image_size=32, in_channels=6,
+                                     use_pallas_irb=False)
+    y_ref = unet_ref.apply(variables, x, t)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=5e-4)
