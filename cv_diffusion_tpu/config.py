@@ -214,6 +214,9 @@ class TrainConfig:
 
     use_ema: bool = True
     ema_decay: float = 0.9999
+    # min(ema_decay, (1+t)/(10+t)) warmup — makes EMA usable in short runs;
+    # False = reference-faithful fixed decay (``src/training/trainer.py:98``).
+    ema_warmup: bool = True
 
     loss_type: str = "mse"  # mse | huber | l1
 

@@ -28,9 +28,18 @@ def init_ema(params):
     return jax.lax.optimization_barrier(copied)
 
 
-def update_ema(ema_params, params, decay: float):
-    """shadow ← shadow·d + p·(1−d) (``trainer.py:98-104``)."""
+def update_ema(ema_params, params, decay: float, step=None):
+    """shadow ← shadow·d + p·(1−d) (``trainer.py:98-104``).
+
+    With ``step`` (a traced scalar), the decay is warmed up as
+    ``min(decay, (1+t)/(10+t))`` — the standard EMA warmup that makes the
+    shadow usable in short runs (a fixed 0.9999 leaves it ~63% initialization
+    after 5k steps).  ``step=None`` reproduces the reference's fixed decay.
+    """
     d = jnp.asarray(decay, dtype=jnp.float32)
+    if step is not None:
+        t = step.astype(jnp.float32)
+        d = jnp.minimum(d, (1.0 + t) / (10.0 + t))
     return jax.tree_util.tree_map(
         lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)).astype(e.dtype),
         ema_params, params)

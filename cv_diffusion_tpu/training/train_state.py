@@ -149,7 +149,9 @@ def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
         new_params, new_opt_state = state.apply_gradients(grads)
         new_ema = state.ema_params
         if new_ema is not None:
-            new_ema = update_ema(new_ema, new_params, config.ema_decay)
+            new_ema = update_ema(new_ema, new_params, config.ema_decay,
+                                 step=state.step if config.ema_warmup
+                                 else None)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=new_opt_state,
                                   ema_params=new_ema, rng=rng)

@@ -32,6 +32,10 @@ def main():
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--ema_decay", type=float, default=0.95,
                    help="Distillation EMA (reference default 0.95)")
+    p.add_argument("--teacher_ema", action="store_true",
+                   help="Use the teacher checkpoint's EMA weights (only "
+                        "sensible when the teacher trained long enough for "
+                        "EMA to converge: ~3/decay-complement steps)")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
@@ -58,7 +62,10 @@ def main():
         teacher = ckpt.load_params(params_dir, like)
     except Exception:
         raw = ckpt.load_raw(params_dir)
-        teacher = raw.get("ema_params", raw["params"])
+        if args.teacher_ema and "ema_params" in raw:
+            teacher = raw["ema_params"]
+        else:
+            teacher = raw["params"]
 
     train_loader, val_loader = create_dataloaders(
         args.data_dir, args.val_dir, batch_size=args.batch_size,

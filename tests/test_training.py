@@ -198,3 +198,19 @@ def test_ssim_properties():
                      0, 1)
     s = float(ssim(x, noisy))
     assert 0.0 < s < 0.95
+
+
+def test_ema_warmup_decay():
+    """min(decay, (1+t)/(10+t)): early steps track params closely."""
+    params = {"w": jnp.ones(3)}
+    new_params = {"w": jnp.full(3, 2.0)}
+    ema = init_ema(params)
+    # step 0 → d = 1/10: ema = 1*0.1 + 2*0.9 = 1.9
+    out = update_ema(ema, new_params, decay=0.9999,
+                     step=jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.9, rtol=1e-6)
+    # large step → d saturates at the configured decay
+    out = update_ema(ema, new_params, decay=0.9999,
+                     step=jnp.asarray(10**6, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0 * 0.9999 + 2e-4,
+                               rtol=1e-5)
