@@ -64,6 +64,24 @@ def sample_timestep_pairs(rng: jax.Array, batch_size: int,
     return t, t_next
 
 
+def sample_canonical_pairs(rng: jax.Array, batch_size: int,
+                           num_train_timesteps: int, num_ddim_timesteps: int,
+                           num_inference_steps: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(t, t_prev) with t > t_prev on the DDIM grid — the canonical LCM
+    pairing (Luo et al. 2023, alg. 1): the student is trained at the *more*
+    noised point and the EMA target sits one teacher step closer to data,
+    where its x̂₀ estimate is strictly better.  Contrast with
+    :func:`sample_timestep_pairs`, the reference's inverted pairing
+    (``low_light_diffusion.py:344-351``)."""
+    c = num_train_timesteps // num_ddim_timesteps
+    k = num_ddim_timesteps // num_inference_steps
+    idx = jax.random.randint(rng, (batch_size,), k, num_ddim_timesteps)
+    t = idx * c + c - 1
+    t_prev = (idx - k) * c + c - 1
+    return t, t_prev
+
+
 def _bcast(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return v.reshape((-1,) + (1,) * (ndim - 1))
 
@@ -72,7 +90,8 @@ def consistency_distillation_loss(
         model: LowLightDiffusion, schedule: LCMSchedule,
         teacher_params, student_params, ema_student_params,
         rng: jax.Array, low_light: jnp.ndarray, normal_light: jnp.ndarray,
-        num_ddim_timesteps: int = 50, num_inference_steps: int = 4
+        num_ddim_timesteps: int = 50, num_inference_steps: int = 4,
+        canonical: bool = False
 ) -> jnp.ndarray:
     """One consistency-distillation loss evaluation
     (``low_light_diffusion.py:325-408``).
@@ -80,12 +99,19 @@ def consistency_distillation_loss(
     teacher ε at (x_t, t) → deterministic DDIM step → x_{t_next};
     student x̂₀ at (x_t, t) vs stop-gradient EMA-student x̂₀ at
     (x_{t_next}, t_next); Huber between the two.
+
+    ``canonical=False`` (default) keeps the reference's pairing, where
+    t_next > t — the EMA target is evaluated at the MORE-noised point.
+    ``canonical=True`` flips to the standard LCM direction (teacher DDIM
+    step *toward data*, target at the less-noised point); same math
+    otherwise, since DDIM's deterministic map is shared.
     """
     batch = low_light.shape[0]
     noise_rng, t_rng = jax.random.split(rng)
     noise = jax.random.normal(noise_rng, normal_light.shape,
                               dtype=normal_light.dtype)
-    t, t_next = sample_timestep_pairs(
+    sampler = sample_canonical_pairs if canonical else sample_timestep_pairs
+    t, t_next = sampler(
         t_rng, batch, schedule.config.num_train_timesteps,
         num_ddim_timesteps, num_inference_steps)
 
@@ -159,12 +185,15 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                            ema_decay: float = 0.95,
                            num_ddim_timesteps: int = 50,
                            num_inference_steps: int = 4,
-                           mesh=None, donate: bool = True) -> Callable:
+                           mesh=None, donate: bool = True,
+                           canonical: bool = False) -> Callable:
     """Jitted distillation train step.
 
     EMA decay default 0.95 follows the distillation components
     (``lcm_scheduler.py:323``, ``low_light_diffusion.py:317``), not the
-    trainer's 0.9999.
+    trainer's 0.9999.  ``canonical`` selects the standard LCM timestep
+    direction instead of the reference's inverted pairing (see
+    :func:`consistency_distillation_loss`).
     """
 
     def step_fn(state: DistillationState, batch: Dict[str, jnp.ndarray]
@@ -176,7 +205,7 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                 model, schedule, state.teacher_params, student_params,
                 state.ema_student_params, step_rng, batch["low_light"],
                 batch["normal_light"], num_ddim_timesteps,
-                num_inference_steps)
+                num_inference_steps, canonical=canonical)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.student_params)
         updates, new_opt = state.tx.update(grads, state.opt_state,

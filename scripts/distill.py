@@ -36,6 +36,10 @@ def main():
                    help="Use the teacher checkpoint's EMA weights (only "
                         "sensible when the teacher trained long enough for "
                         "EMA to converge: ~3/decay-complement steps)")
+    p.add_argument("--canonical", action="store_true",
+                   help="Canonical LCM timestep direction (EMA target one "
+                        "teacher DDIM step closer to data) instead of the "
+                        "reference's inverted pairing")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
@@ -79,7 +83,8 @@ def main():
                       output_dir=args.output_dir, seed=args.seed)
     trainer = DistillationTrainer(
         model, schedule, teacher, train_loader, val_loader, cfg,
-        num_ddim_timesteps=args.num_ddim_timesteps, ema_decay=args.ema_decay)
+        num_ddim_timesteps=args.num_ddim_timesteps, ema_decay=args.ema_decay,
+        canonical=args.canonical)
     trainer.train()
 
 

@@ -57,6 +57,31 @@ def test_timestep_pairs_grid():
     assert (t_next > t).all()
 
 
+def test_canonical_pairs_grid():
+    from cv_diffusion_tpu.models.distillation import sample_canonical_pairs
+    t, t_prev = sample_canonical_pairs(jax.random.key(0), 128,
+                                       num_train_timesteps=1000,
+                                       num_ddim_timesteps=50,
+                                       num_inference_steps=4)
+    t = np.asarray(t)
+    t_prev = np.asarray(t_prev)
+    assert ((t % 20) == 19).all()
+    np.testing.assert_array_equal(t - t_prev, 240)
+    # canonical LCM: the EMA target sits CLOSER to data
+    assert (t_prev < t).all()
+    assert t_prev.min() >= 19  # never below the first DDIM grid point
+
+
+def test_canonical_distillation_loss_finite(setup):
+    model, schedule, teacher, student = setup
+    batch = _batch(jax.random.key(2))
+    loss = consistency_distillation_loss(
+        model, schedule, teacher, student, student, jax.random.key(3),
+        batch["low_light"], batch["normal_light"], canonical=True)
+    assert np.isfinite(float(loss))
+    assert float(loss) >= 0
+
+
 def test_distillation_loss_finite(setup):
     model, schedule, teacher, student = setup
     batch = _batch(jax.random.key(2))
