@@ -46,10 +46,13 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
     kern = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))
 
     def filt(x):
+        # HIGHEST precision: TPU convs default to bf16 multiplies, which
+        # breaks the E[x²]−µ² variance identity below (variances go ~1e-2
+        # negative and SSIM explodes outside [-1, 1]).
         return jax.lax.conv_general_dilated(
             x, kern, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
 
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
@@ -59,8 +62,10 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
     mu_p2 = mu_p * mu_p
     mu_t2 = mu_t * mu_t
     mu_pt = mu_p * mu_t
-    sigma_p2 = filt(pred * pred) - mu_p2
-    sigma_t2 = filt(target * target) - mu_t2
+    # true variances are ≥ 0; clamp residual rounding error so the
+    # denominator stays positive
+    sigma_p2 = jnp.maximum(filt(pred * pred) - mu_p2, 0.0)
+    sigma_t2 = jnp.maximum(filt(target * target) - mu_t2, 0.0)
     sigma_pt = filt(pred * target) - mu_pt
 
     num = (2 * mu_pt + c1) * (2 * sigma_pt + c2)

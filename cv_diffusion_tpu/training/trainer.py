@@ -232,7 +232,8 @@ class Trainer:
                 break
             rng, k = jax.random.split(rng)
             out = self._enhance(params, k, jnp.asarray(batch["low_light"]))
-            pred = denormalize_image(out)
+            pred = jnp.clip(denormalize_image(out.astype(jnp.float32)),
+                            0.0, 1.0)
             target = denormalize_image(jnp.asarray(batch["normal_light"]))
             psnrs.append(float(psnr(pred, target)))
             ssims.append(float(ssim(pred, target)))

@@ -74,7 +74,9 @@ def main():
         rng, k = jax.random.split(rng)
         low = jnp.asarray(batch["low_light"])
         out = enh(params, k, low)
-        pred = denormalize_image(out.astype(jnp.float32))
+        # clip to the displayable range before metrics (what any consumer
+        # of the image sees; sampler output can overshoot [-1, 1])
+        pred = jnp.clip(denormalize_image(out.astype(jnp.float32)), 0.0, 1.0)
         target = denormalize_image(jnp.asarray(batch["normal_light"]))
         # per-image metrics so ragged final batches weight correctly
         for i in range(pred.shape[0]):

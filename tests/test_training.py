@@ -200,6 +200,45 @@ def test_ssim_properties():
     assert 0.0 < s < 0.95
 
 
+def test_ssim_matches_direct_windowed_numpy():
+    """Golden check vs a direct per-window numpy evaluation (Wang et al.
+    2004, gaussian 11×11 σ=1.5) — guards the filtered-moments identity the
+    fast path uses (which broke on TPU under bf16 conv precision)."""
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 20, 20, 1)).astype(np.float32)
+    y = np.clip(x + 0.2 * rng.standard_normal(x.shape).astype(np.float32),
+                0, 1)
+
+    coords = np.arange(11, dtype=np.float64) - 5.0
+    g = np.exp(-(coords ** 2) / (2 * 1.5 ** 2))
+    g /= g.sum()
+    w = np.outer(g, g)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    vals = []
+    for i in range(20 - 10):
+        for j in range(20 - 10):
+            p = x[0, i:i + 11, j:j + 11, 0].astype(np.float64)
+            t = y[0, i:i + 11, j:j + 11, 0].astype(np.float64)
+            mp, mt = (w * p).sum(), (w * t).sum()
+            vp = (w * (p - mp) ** 2).sum()
+            vt = (w * (t - mt) ** 2).sum()
+            cov = (w * (p - mp) * (t - mt)).sum()
+            vals.append(((2 * mp * mt + c1) * (2 * cov + c2)) /
+                        ((mp ** 2 + mt ** 2 + c1) * (vp + vt + c2)))
+    expected = float(np.mean(vals))
+    got = float(ssim(jnp.asarray(x), jnp.asarray(y)))
+    assert got == pytest.approx(expected, abs=2e-4)
+
+
+def test_ssim_bounded_with_overshooting_pred():
+    """Sampler outputs can overshoot the valid range; SSIM must stay in
+    [-1, 1] (regression: TPU bf16-conv variance underflow gave -42)."""
+    x = 3.0 * jax.random.normal(jax.random.key(5), (1, 40, 40, 3)) + 1.0
+    t = jax.random.uniform(jax.random.key(6), (1, 40, 40, 3))
+    s = float(ssim(x, t))
+    assert -1.0 <= s <= 1.0
+
+
 def test_ema_warmup_decay():
     """min(decay, (1+t)/(10+t)): early steps track params closely."""
     params = {"w": jnp.ones(3)}
