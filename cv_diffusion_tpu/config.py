@@ -63,6 +63,11 @@ class UNetConfig:
     #     of x + one write of out per block instead of XLA's hidden-tensor
     #     round trips). Training and init always use the XLA path.
     use_pallas_irb: bool = False
+    #   fold_gn: graph-level inference fold of GN2⊕FiLM into the expand-conv
+    #     epilogue via the augmented-Gram identity (ops/norms.
+    #     gn2_film_affine_gram) — removes the h1 HBM round trips without a
+    #     custom kernel. Training and init always use the two-pass path.
+    fold_gn: bool = False
     act_quant: bool = False
 
     @property

@@ -17,7 +17,8 @@ from flax import linen as nn
 
 from ..ops.attention import (linear_attention, standard_attention,
                              standard_attention_flash)
-from ..ops.norms import gn_num_groups, group_norm, group_norm_film
+from ..ops.norms import (gn_num_groups, gn2_film_affine_gram, group_norm,
+                         group_norm_film)
 from ..ops.qconv import QConv
 
 Dtype = Any
@@ -147,6 +148,7 @@ class InvertedResidualBlock(nn.Module):
     quantization_friendly: bool = True
     act_quant: bool = False
     use_pallas_irb: bool = False
+    fold_gn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -200,12 +202,32 @@ class InvertedResidualBlock(nn.Module):
 
         h = GroupNorm(name="norm1")(x)
         h = activation(h, self.quantization_friendly)
+
+        # Graph-level inference fold (fold_gn): GN2⊕FiLM statistics of the
+        # expand output come from the augmented Gram of x̂ (gn2_film_affine_
+        # gram), so the 4×-wide h1 is consumed as a pure elementwise affine
+        # in the conv epilogue instead of round-tripping HBM three times
+        # (write + stats read + normalize read).  Same math; training/init
+        # keep the two-pass autodiff path.
+        fold = (self.fold_gn and not train and not self.act_quant
+                and not self.is_initializing())
+        if fold:
+            wexp = self.variables["params"]["expand"]["kernel"][0, 0]
+            a2, b2 = gn2_film_affine_gram(
+                h, wexp, gn_scale, gn_bias, film_scale, film_shift,
+                gn_num_groups(hidden))
+
         h = QConv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
                   act_quant=self.act_quant, act_bound=bound6,
                   name="expand")(h)
 
-        h = group_norm_film(h, gn_scale, gn_bias, film_scale, film_shift,
-                            gn_num_groups(hidden))
+        if fold:
+            bshape = (h.shape[0], 1, 1, hidden)
+            h = (h.astype(jnp.float32) * a2.reshape(bshape)
+                 + b2.reshape(bshape)).astype(h.dtype)
+        else:
+            h = group_norm_film(h, gn_scale, gn_bias, film_scale, film_shift,
+                                gn_num_groups(hidden))
 
         h = activation(h, self.quantization_friendly)
         h = QConv(hidden, (3, 3), strides=(self.stride, self.stride),

@@ -72,6 +72,7 @@ class EfficientUNet(nn.Module):
             quantization_friendly=cfg.quantization_friendly,
             act_quant=cfg.act_quant,
             use_pallas_irb=cfg.use_pallas_irb,
+            fold_gn=cfg.fold_gn,
             dtype=self._dtype(), name=name)
 
     @nn.compact

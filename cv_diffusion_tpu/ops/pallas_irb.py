@@ -455,21 +455,27 @@ def _kernel_v2(x_ref,       # [1, H+2, W, Cin] (zero-padded rows, resident)
         @pl.when(phase == 0)
         def _():
             h2 = h2_rows(False)                      # [th, W, Chid]
+            # Masked full reductions instead of slice-then-reduce: Mosaic
+            # rejects reductions whose input layout has non-zero offsets
+            # over the reduced dims (e.g. sum over h2[:, W-1, :]).
+            row = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
+                   + ti * tile_h)                    # global row index
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, width, 1), 1)
+
+            def msum(mask):
+                return jnp.sum(jnp.where(mask, h2, 0.0), axis=(0, 1))[None]
+
+            first_r, last_r = row == 0, row == height - 1
+            first_c, last_c = col == 0, col == width - 1
             edge[0:1] += jnp.sum(h2, axis=(0, 1))[None]
-            edge[3:4] += jnp.sum(h2[:, 0, :], axis=0)[None]
-            edge[4:5] += jnp.sum(h2[:, width - 1, :], axis=0)[None]
-
-            @pl.when(ti == 0)
-            def _():
-                edge[1:2] = jnp.sum(h2[0:1], axis=(0, 1))[None]
-                edge[5:6] = h2[0, 0, :][None]
-                edge[6:7] = h2[0, width - 1, :][None]
-
-            @pl.when(ti == n_tiles - 1)
-            def _():
-                edge[2:3] = jnp.sum(h2[tile_h - 1:tile_h], axis=(0, 1))[None]
-                edge[7:8] = h2[tile_h - 1, 0, :][None]
-                edge[8:9] = h2[tile_h - 1, width - 1, :][None]
+            edge[1:2] += msum(first_r)
+            edge[2:3] += msum(last_r)
+            edge[3:4] += msum(first_c)
+            edge[4:5] += msum(last_c)
+            edge[5:6] += msum(first_r & first_c)
+            edge[6:7] += msum(first_r & last_c)
+            edge[7:8] += msum(last_r & first_c)
+            edge[8:9] += msum(last_r & last_c)
 
         @pl.when(jnp.logical_and(phase == 0, ti == n_tiles - 1))
         def _():

@@ -126,3 +126,21 @@ def test_standard_attention_variant():
     x = jax.random.normal(jax.random.key(1), (1, 32, 32, 6))
     y = unet.apply(variables, x, jnp.asarray([5], dtype=jnp.int32))
     assert y.shape == (1, 32, 32, 3)
+
+
+def test_fold_gn_matches_two_pass():
+    """fold_gn (Gram-folded GN2⊕FiLM in the expand epilogue) must match the
+    standard two-pass GroupNorm path through the whole UNet."""
+    from cv_diffusion_tpu.models import create_efficient_unet, init_unet
+    import numpy as np
+
+    unet_ref = create_efficient_unet("tiny", image_size=32, in_channels=6)
+    variables = init_unet(unet_ref, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 6))
+    t = jnp.asarray([5, 250], dtype=jnp.int32)
+    y_ref = unet_ref.apply(variables, x, t)
+
+    unet_fold = create_efficient_unet("tiny", image_size=32, in_channels=6,
+                                      fold_gn=True)
+    y = unet_fold.apply(variables, x, t)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
