@@ -79,8 +79,12 @@ def run_sweep(args):
 
 def run_config(variant, image_size, steps, batch, iters, warmup, dtype,
                params_dtype):
+    # use_pallas: the fused linear-attention kernel is the shipped serving
+    # default (whole-model +3.9% small@128, never slower — BENCHMARKS.md);
+    # forward-only, so bench/serving enable it while training keeps XLA.
     cfg = diffusion_config(variant, image_size=image_size,
-                           num_inference_steps=steps, dtype=dtype)
+                           num_inference_steps=steps, dtype=dtype,
+                           use_pallas=True)
     model, schedule = create_model(cfg)
 
     # Keep every device op inside jit: eager dispatch is pathologically slow

@@ -200,12 +200,25 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
     return files
 
 
-def load_serving_package(package_dir: str):
-    """Rebuild (model, schedule, params) from a package directory."""
+def load_serving_package(package_dir: str, use_pallas: Optional[bool] = None):
+    """Rebuild (model, schedule, params) from a package directory.
+
+    ``use_pallas``: serving is forward-only, so the Pallas linear-attention
+    kernel (whole-model win on v5e, never slower — BENCHMARKS.md) is enabled
+    by default; pass False to force the XLA einsum path. Parameter structure
+    is identical either way.
+    """
+    import dataclasses
+
     out = Path(package_dir)
     with open(out / "model_config.json") as f:
         cfg = json.load(f)
     model_cfg = from_dict(DiffusionConfig, cfg["model"])
+    if use_pallas is None:
+        use_pallas = True
+    model_cfg = dataclasses.replace(
+        model_cfg, unet=dataclasses.replace(model_cfg.unet,
+                                            use_pallas=use_pallas))
     model = LowLightDiffusion(model_cfg)
     schedule = make_schedule(model_cfg.scheduler)
 

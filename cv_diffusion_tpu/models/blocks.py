@@ -273,7 +273,7 @@ class LinearAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, hgt, wid, c = x.shape
         inner = self.num_heads * self.dim_head
         residual = x
@@ -284,7 +284,10 @@ class LinearAttentionBlock(nn.Module):
         qkv = qkv.reshape(b, hgt * wid, 3, self.num_heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        out = linear_attention(q, k, v, use_pallas=self.use_pallas)
+        # Kernel path is forward-only (no VJP): training keeps the XLA
+        # einsum form, inference routes through Pallas when enabled.
+        out = linear_attention(q, k, v,
+                               use_pallas=self.use_pallas and not train)
 
         out = out.reshape(b, hgt, wid, inner)
         out = QConv(c, (1, 1), use_bias=False, dtype=self.dtype,
@@ -309,7 +312,8 @@ class StandardAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        del train  # the flash kernel ships its own VJP; path is train-safe
         b, hgt, wid, c = x.shape
         inner = self.num_heads * self.dim_head
         residual = x

@@ -100,7 +100,8 @@ class EfficientUNet(nn.Module):
                 h = self._irb(out_ch, f"enc_{level}_{block_idx}")(
                     h, t_emb, train=train)
                 if current_res in cfg.attention_resolutions:
-                    h = self._attention(f"enc_attn_{level}_{block_idx}")(h)
+                    h = self._attention(f"enc_attn_{level}_{block_idx}")(
+                        h, train=train)
             skips.append(h)
             if level < len(channels) - 1:
                 h = Downsample(dtype=dtype, act_quant=cfg.act_quant,
@@ -111,7 +112,7 @@ class EfficientUNet(nn.Module):
         # Middle (``efficient_unet.py:466-480,572-575``)
         # ------------------------------------------------------------------
         h = self._irb(channels[-1], "mid_block1")(h, t_emb, train=train)
-        h = self._attention("mid_attn")(h)
+        h = self._attention("mid_attn")(h, train=train)
         h = self._irb(channels[-1], "mid_block2")(h, t_emb, train=train)
 
         # ------------------------------------------------------------------
@@ -128,7 +129,8 @@ class EfficientUNet(nn.Module):
                 h = self._irb(out_ch, f"dec_{level}_{block_idx}")(
                     h, t_emb, train=train)
                 if current_res in cfg.attention_resolutions:
-                    h = self._attention(f"dec_attn_{level}_{block_idx}")(h)
+                    h = self._attention(f"dec_attn_{level}_{block_idx}")(
+                        h, train=train)
             if return_features:
                 # per-decoder-level features (``efficient_unet.py:596-597``)
                 features.append(h)

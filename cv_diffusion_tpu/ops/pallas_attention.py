@@ -41,8 +41,8 @@ def _elu_plus_one(x):
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, kv_acc, ksum_acc, *, num_heads: int,
             head_dim: int, eps: float):
-    phase = pl.program_id(1)
-    tile = pl.program_id(2)
+    phase = pl.program_id(2)
+    tile = pl.program_id(3)
     d = num_heads * head_dim
 
     @pl.when(jnp.logical_and(phase == 0, tile == 0))
@@ -78,25 +78,52 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, kv_acc, ksum_acc, *, num_heads: int,
         o_ref[0] = (num / (den + eps)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "tile_n"))
+@functools.partial(jax.jit, static_argnames=("eps", "tile_n", "interpret"))
 def linear_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                            eps: float = 1e-6,
-                            tile_n: int = 1024) -> jnp.ndarray:
+                            eps: float = 1e-6, tile_n: int = 1024,
+                            interpret: bool | None = None) -> jnp.ndarray:
     """Fused linear attention.
 
     Args:
-      q, k, v: [B, N, H, D].  H·D must be ≤ 128 (all model variants: ≤128).
+      q, k, v: [B, N, H, D].  D ≤ 128; wider H·D is split over a head-group
+        grid axis (e.g. base-variant 6×32 → two 96-lane groups).
     Returns:
       [B, N, H, D], same dtype as q.
-    """
-    b, n, h, dh = q.shape
-    d = h * dh
-    if d > LANES:
-        raise ValueError(f"heads*dim={d} > {LANES} lanes unsupported")
 
-    qf = q.reshape(b, n, d)
-    kf = k.reshape(b, n, d)
-    vf = v.reshape(b, n, d)
+    ``interpret``: None = auto (Pallas interpreter on CPU — tests / the
+    virtual mesh — compiled Mosaic on TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n, h, dh = q.shape
+    if dh > LANES:
+        raise ValueError(f"head_dim={dh} > {LANES} lanes unsupported")
+    # Head-group axis: pack as many whole heads as fit in the 128 lanes
+    # (largest divisor of h, so every group is full). d ≤ 128 → one group,
+    # the original layout; base-variant 6×32=192 → two groups of 3 heads.
+    gsize = max(g for g in range(1, h + 1)
+                if h % g == 0 and g * dh <= LANES)
+    groups = h // gsize
+    dg = gsize * dh
+    # Mosaic wants block lane counts divisible by 128 (or the full array
+    # width): with >1 group, pad each group to 128 lanes. The pad lanes form
+    # *phantom heads* (φ(-30)≈0 K, zero V) that the kernel's block-diagonal
+    # head mask keeps out of every real lane; they are sliced off at the end.
+    d = dg if groups == 1 else LANES
+    if groups > 1 and LANES % dh:
+        raise ValueError(f"head_dim={dh} must divide {LANES} when heads "
+                         f"span multiple lane groups")
+
+    def pack(x, pad_value):
+        xg = x.reshape(b, n, groups, dg)
+        if d != dg:
+            xg = jnp.pad(xg, ((0, 0), (0, 0), (0, 0), (0, d - dg)),
+                         constant_values=pad_value)
+        return xg.reshape(b, n, groups * d)
+
+    qf = pack(q, 0.0)
+    kf = pack(k, -30.0)
+    vf = pack(v, 0.0)
 
     # Pad N to a tile multiple; padded K rows would pollute kv/ksum, so use
     # tile_n that divides or pad with zeros — φ(0) = 1 ≠ 0 pollutes k_sum!
@@ -112,21 +139,22 @@ def linear_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n_pad = n + pad
     n_tiles = n_pad // tile
 
-    grid = (b, 2, n_tiles)
+    grid = (b, groups, 2, n_tiles)
 
-    def idx(bi, phase, ti):
-        return (bi, ti, 0)
+    def idx(bi, gi, phase, ti):
+        return (bi, ti, gi)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=h, head_dim=dh, eps=eps),
+        functools.partial(_kernel, num_heads=d // dh, head_dim=dh, eps=eps),
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, d), idx, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, groups * d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((d, d), jnp.float32),
             pltpu.VMEM((1, d), jnp.float32),
@@ -135,4 +163,5 @@ def linear_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     if pad:
         out = out[:, :n]
+    out = out.reshape(b, n, groups, d)[..., :dg]
     return out.reshape(b, n, h, dh)

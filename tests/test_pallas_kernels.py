@@ -27,7 +27,10 @@ def _interpret_mode(monkeypatch):
 
 
 @pytest.mark.parametrize("shape", [(2, 256, 4, 32), (1, 1000, 4, 32),
-                                   (2, 64, 2, 32), (1, 128, 1, 128)])
+                                   (2, 64, 2, 32), (1, 128, 1, 128),
+                                   # > 128 lanes: head-group grid axis
+                                   # (6×32 → 2 groups of 96; 8×32 → 2×128)
+                                   (1, 128, 6, 32), (1, 192, 8, 32)])
 def test_linear_attention_pallas_matches_xla(shape):
     b, n, h, d = shape
     rng = np.random.default_rng(0)
@@ -56,9 +59,9 @@ def test_linear_attention_pallas_bf16():
 
 
 def test_head_dim_over_lanes_raises():
-    x = jnp.zeros((1, 8, 8, 32))
+    x = jnp.zeros((1, 8, 2, 256))
     with pytest.raises(ValueError):
-        pa.linear_attention_pallas(x, x, x)  # 8 heads × 32 = 256 > 128
+        pa.linear_attention_pallas(x, x, x)  # head_dim 256 > 128 lanes
 
 
 def test_unet_with_use_pallas_flag():
