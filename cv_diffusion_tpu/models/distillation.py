@@ -54,11 +54,19 @@ def sample_timestep_pairs(rng: jax.Array, batch_size: int,
                           num_train_timesteps: int, num_ddim_timesteps: int,
                           num_inference_steps: int
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(t, t_next) = (idx·c+c−1, (idx+k)·c+c−1), idx ~ U[0, N−k)
-    (``low_light_diffusion.py:344-351``)."""
+    """(t, t_next) = (idx·c+c−1, (idx+k)·c+c−1), idx ~ U[0, N−k−1)
+    (``low_light_diffusion.py:344-351``).
+
+    Deviation from the reference's U[0, N−k) upper bound: the terminal grid
+    point t=999 is excluded, because under the zero-terminal-SNR schedule
+    (``rescale_betas_zero_snr``, the serving default) ᾱ₉₉₉ = 0 exactly and
+    the x̂₀ = (x_t − √(1−ᾱ)ε)/√ᾱ parameterization is singular there — the
+    loss NaNs on the first step (measured on-chip).  The reference ships
+    this code unwired, so it could never observe its own divide-by-zero."""
     c = num_train_timesteps // num_ddim_timesteps
     k = num_ddim_timesteps // num_inference_steps
-    idx = jax.random.randint(rng, (batch_size,), 0, num_ddim_timesteps - k)
+    idx = jax.random.randint(rng, (batch_size,), 0,
+                             num_ddim_timesteps - k - 1)
     t = idx * c + c - 1
     t_next = (idx + k) * c + c - 1
     return t, t_next
@@ -76,7 +84,9 @@ def sample_canonical_pairs(rng: jax.Array, batch_size: int,
     (``low_light_diffusion.py:344-351``)."""
     c = num_train_timesteps // num_ddim_timesteps
     k = num_ddim_timesteps // num_inference_steps
-    idx = jax.random.randint(rng, (batch_size,), k, num_ddim_timesteps)
+    # Exclude the terminal grid point (ᾱ = 0 under zero-terminal-SNR → x̂₀
+    # singular); see sample_timestep_pairs.
+    idx = jax.random.randint(rng, (batch_size,), k, num_ddim_timesteps - 1)
     t = idx * c + c - 1
     t_prev = (idx - k) * c + c - 1
     return t, t_prev

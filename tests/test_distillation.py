@@ -55,6 +55,8 @@ def test_timestep_pairs_grid():
     # t_next is the *more-noised* point — reference behavior kept
     # (``low_light_diffusion.py:350-351``).
     assert (t_next > t).all()
+    # terminal zero-SNR grid point excluded (x̂₀ singular at ᾱ=0)
+    assert t_next.max() <= 979
 
 
 def test_canonical_pairs_grid():
@@ -70,6 +72,7 @@ def test_canonical_pairs_grid():
     # canonical LCM: the EMA target sits CLOSER to data
     assert (t_prev < t).all()
     assert t_prev.min() >= 19  # never below the first DDIM grid point
+    assert t.max() <= 979      # terminal zero-SNR point excluded
 
 
 def test_canonical_distillation_loss_finite(setup):
