@@ -101,7 +101,7 @@ def consistency_distillation_loss(
         teacher_params, student_params, ema_student_params,
         rng: jax.Array, low_light: jnp.ndarray, normal_light: jnp.ndarray,
         num_ddim_timesteps: int = 50, num_inference_steps: int = 4,
-        canonical: bool = False
+        canonical: bool = False, clip_x0: float = 1.5
 ) -> jnp.ndarray:
     """One consistency-distillation loss evaluation
     (``low_light_diffusion.py:325-408``).
@@ -115,6 +115,12 @@ def consistency_distillation_loss(
     ``canonical=True`` flips to the standard LCM direction (teacher DDIM
     step *toward data*, target at the less-noised point); same math
     otherwise, since DDIM's deterministic map is shared.
+
+    ``clip_x0``: x̂₀ predictions are clipped to ±clip_x0 (data lives in
+    [−1, 1]).  Near the top of the DDIM grid 1/√ᾱ amplifies ε-error into
+    x̂₀ by up to ~100×; without the clip the consistency targets blow up
+    and training diverges (measured on-chip: loss 0.46 → 19 in 8 epochs).
+    The reference's unwired code has no clip — a stability addition.
     """
     batch = low_light.shape[0]
     noise_rng, t_rng = jax.random.split(rng)
@@ -132,10 +138,16 @@ def consistency_distillation_loss(
     alpha_t_next = _bcast(acp[t_next], x_t.ndim)
 
     # Teacher DDIM step t → t_next (frozen; under stop_gradient by closure).
+    def to_x0(x, eps_pred, alpha):
+        x0 = (x - jnp.sqrt(1 - alpha) * eps_pred) / jnp.sqrt(alpha)
+        if clip_x0 is not None:
+            x0 = jnp.clip(x0, -clip_x0, clip_x0)
+        return x0
+
     teacher_eps = model.apply({"params": teacher_params}, x_t, low_light, t,
                               train=False).astype(jnp.float32)
     x_tf = x_t.astype(jnp.float32)
-    x0_teacher = (x_tf - jnp.sqrt(1 - alpha_t) * teacher_eps) / jnp.sqrt(alpha_t)
+    x0_teacher = to_x0(x_tf, teacher_eps, alpha_t)
     x_t_next = (jnp.sqrt(alpha_t_next) * x0_teacher +
                 jnp.sqrt(1 - alpha_t_next) * teacher_eps)
     x_t_next = jax.lax.stop_gradient(x_t_next).astype(x_t.dtype)
@@ -143,15 +155,13 @@ def consistency_distillation_loss(
     # Student prediction at (x_t, t).
     student_eps = model.apply({"params": student_params}, x_t, low_light, t,
                               train=True).astype(jnp.float32)
-    student_x0 = (x_tf - jnp.sqrt(1 - alpha_t) * student_eps) / jnp.sqrt(alpha_t)
+    student_x0 = to_x0(x_tf, student_eps, alpha_t)
 
     # EMA-student target at (x_{t_next}, t_next) — no gradients.
     target_eps = model.apply({"params": ema_student_params}, x_t_next,
                              low_light, t_next, train=False)
     target_eps = jax.lax.stop_gradient(target_eps).astype(jnp.float32)
-    target_x0 = ((x_t_next.astype(jnp.float32) -
-                  jnp.sqrt(1 - alpha_t_next) * target_eps) /
-                 jnp.sqrt(alpha_t_next))
+    target_x0 = to_x0(x_t_next.astype(jnp.float32), target_eps, alpha_t_next)
     target_x0 = jax.lax.stop_gradient(target_x0)
 
     return huber_loss(student_x0, target_x0)
@@ -196,7 +206,8 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                            num_ddim_timesteps: int = 50,
                            num_inference_steps: int = 4,
                            mesh=None, donate: bool = True,
-                           canonical: bool = False) -> Callable:
+                           canonical: bool = False,
+                           clip_x0: float = 1.5) -> Callable:
     """Jitted distillation train step.
 
     EMA decay default 0.95 follows the distillation components
@@ -215,7 +226,7 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                 model, schedule, state.teacher_params, student_params,
                 state.ema_student_params, step_rng, batch["low_light"],
                 batch["normal_light"], num_ddim_timesteps,
-                num_inference_steps, canonical=canonical)
+                num_inference_steps, canonical=canonical, clip_x0=clip_x0)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.student_params)
         updates, new_opt = state.tx.update(grads, state.opt_state,
