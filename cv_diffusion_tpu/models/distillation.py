@@ -22,7 +22,7 @@ factory returns a donated, mesh-shardable train step like the base trainer's.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,16 +74,24 @@ def sample_timestep_pairs(rng: jax.Array, batch_size: int,
 
 def sample_canonical_pairs(rng: jax.Array, batch_size: int,
                            num_train_timesteps: int, num_ddim_timesteps: int,
-                           num_inference_steps: int
+                           num_inference_steps: int,
+                           stride: Optional[int] = None
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(t, t_prev) with t > t_prev on the DDIM grid — the canonical LCM
     pairing (Luo et al. 2023, alg. 1): the student is trained at the *more*
     noised point and the EMA target sits one teacher step closer to data,
     where its x̂₀ estimate is strictly better.  Contrast with
     :func:`sample_timestep_pairs`, the reference's inverted pairing
-    (``low_light_diffusion.py:344-351``)."""
+    (``low_light_diffusion.py:344-351``).
+
+    ``stride``: grid points the teacher's single DDIM step spans.  Default
+    (None) follows the reference's skip k = N/num_inference_steps (12 of
+    50 — a 240-t-unit jump whose ODE error pollutes the target); canonical
+    consistency distillation uses ``stride=1`` (adjacent grid points, the
+    self-consistency property then holds transitively along the whole
+    trajectory)."""
     c = num_train_timesteps // num_ddim_timesteps
-    k = num_ddim_timesteps // num_inference_steps
+    k = num_ddim_timesteps // num_inference_steps if stride is None else stride
     # Exclude the terminal grid point (ᾱ = 0 under zero-terminal-SNR → x̂₀
     # singular); see sample_timestep_pairs.
     idx = jax.random.randint(rng, (batch_size,), k, num_ddim_timesteps - 1)
@@ -101,7 +109,8 @@ def consistency_distillation_loss(
         teacher_params, student_params, ema_student_params,
         rng: jax.Array, low_light: jnp.ndarray, normal_light: jnp.ndarray,
         num_ddim_timesteps: int = 50, num_inference_steps: int = 4,
-        canonical: bool = False, clip_x0: float = 1.5
+        canonical: bool = False, clip_x0: float = 1.5,
+        pair_stride: Optional[int] = None
 ) -> jnp.ndarray:
     """One consistency-distillation loss evaluation
     (``low_light_diffusion.py:325-408``).
@@ -126,10 +135,14 @@ def consistency_distillation_loss(
     noise_rng, t_rng = jax.random.split(rng)
     noise = jax.random.normal(noise_rng, normal_light.shape,
                               dtype=normal_light.dtype)
-    sampler = sample_canonical_pairs if canonical else sample_timestep_pairs
-    t, t_next = sampler(
-        t_rng, batch, schedule.config.num_train_timesteps,
-        num_ddim_timesteps, num_inference_steps)
+    if canonical:
+        t, t_next = sample_canonical_pairs(
+            t_rng, batch, schedule.config.num_train_timesteps,
+            num_ddim_timesteps, num_inference_steps, stride=pair_stride)
+    else:
+        t, t_next = sample_timestep_pairs(
+            t_rng, batch, schedule.config.num_train_timesteps,
+            num_ddim_timesteps, num_inference_steps)
 
     x_t = add_noise(schedule, normal_light, noise, t)
 
@@ -207,7 +220,8 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                            num_inference_steps: int = 4,
                            mesh=None, donate: bool = True,
                            canonical: bool = False,
-                           clip_x0: float = 1.5) -> Callable:
+                           clip_x0: float = 1.5,
+                           pair_stride: Optional[int] = None) -> Callable:
     """Jitted distillation train step.
 
     EMA decay default 0.95 follows the distillation components
@@ -226,7 +240,8 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                 model, schedule, state.teacher_params, student_params,
                 state.ema_student_params, step_rng, batch["low_light"],
                 batch["normal_light"], num_ddim_timesteps,
-                num_inference_steps, canonical=canonical, clip_x0=clip_x0)
+                num_inference_steps, canonical=canonical, clip_x0=clip_x0,
+                pair_stride=pair_stride)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.student_params)
         updates, new_opt = state.tx.update(grads, state.opt_state,

@@ -304,7 +304,8 @@ class DistillationTrainer:
     def __init__(self, model, schedule, teacher_params, train_loader,
                  val_loader=None, config: Optional[TrainConfig] = None,
                  num_ddim_timesteps: int = 50, ema_decay: float = 0.95,
-                 mesh=None, canonical: bool = False):
+                 mesh=None, canonical: bool = False,
+                 pair_stride: Optional[int] = None):
         from ..models.distillation import (create_distillation_state,
                                            make_distillation_step)
         from .train_state import make_optimizer
@@ -333,7 +334,7 @@ class DistillationTrainer:
             model, schedule, ema_decay=ema_decay,
             num_ddim_timesteps=num_ddim_timesteps,
             num_inference_steps=self.config.num_inference_steps,
-            mesh=self.mesh, canonical=canonical)
+            mesh=self.mesh, canonical=canonical, pair_stride=pair_stride)
         self._enhance = jax.jit(
             lambda params, k, x: enhance(
                 model, schedule, {"params": params}, k, x,

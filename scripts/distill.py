@@ -40,6 +40,10 @@ def main():
                    help="Canonical LCM timestep direction (EMA target one "
                         "teacher DDIM step closer to data) instead of the "
                         "reference's inverted pairing")
+    p.add_argument("--pair_stride", type=int, default=None,
+                   help="DDIM grid points per teacher step in --canonical "
+                        "mode (default: the reference's N/num_steps skip; "
+                        "1 = adjacent-point consistency distillation)")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
@@ -84,7 +88,7 @@ def main():
     trainer = DistillationTrainer(
         model, schedule, teacher, train_loader, val_loader, cfg,
         num_ddim_timesteps=args.num_ddim_timesteps, ema_decay=args.ema_decay,
-        canonical=args.canonical)
+        canonical=args.canonical, pair_stride=args.pair_stride)
     trainer.train()
 
 

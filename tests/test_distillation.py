@@ -154,3 +154,14 @@ def test_ema_decay_095_semantics(setup):
     np.testing.assert_allclose(np.asarray(e),
                                np.asarray(old * 0.95 + new * 0.05),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_canonical_pairs_stride_one():
+    from cv_diffusion_tpu.models.distillation import sample_canonical_pairs
+    t, t_prev = sample_canonical_pairs(jax.random.key(0), 128,
+                                       num_train_timesteps=1000,
+                                       num_ddim_timesteps=50,
+                                       num_inference_steps=4, stride=1)
+    t, t_prev = np.asarray(t), np.asarray(t_prev)
+    np.testing.assert_array_equal(t - t_prev, 20)  # adjacent grid points
+    assert t_prev.min() >= 19 and t.max() <= 979
