@@ -110,7 +110,8 @@ def consistency_distillation_loss(
         rng: jax.Array, low_light: jnp.ndarray, normal_light: jnp.ndarray,
         num_ddim_timesteps: int = 50, num_inference_steps: int = 4,
         canonical: bool = False, clip_x0: float = 1.5,
-        pair_stride: Optional[int] = None
+        pair_stride: Optional[int] = None,
+        sampler_matched: bool = False
 ) -> jnp.ndarray:
     """One consistency-distillation loss evaluation
     (``low_light_diffusion.py:325-408``).
@@ -130,12 +131,28 @@ def consistency_distillation_loss(
     x̂₀ by up to ~100×; without the clip the consistency targets blow up
     and training diverges (measured on-chip: loss 0.46 → 19 in 8 epochs).
     The reference's unwired code has no clip — a stability addition.
+
+    ``sampler_matched``: distill over the deployed sampler's OWN Markov
+    chain instead of DDIM trajectories — (t, t_next) are adjacent points of
+    the actual k-step inference grid (``lcm_timesteps``, e.g.
+    [739, 499, 259, 19]) and the transition renoises x̂₀ with FRESH noise,
+    exactly the LCM sampler's stochastic step.  DDIM-trajectory consistency
+    optimizes a sampler that is never run; this optimizes the one that is.
     """
+    from .scheduler import lcm_timesteps
+
     batch = low_light.shape[0]
-    noise_rng, t_rng = jax.random.split(rng)
+    noise_rng, t_rng, renoise_rng = jax.random.split(rng, 3)
     noise = jax.random.normal(noise_rng, normal_light.shape,
                               dtype=normal_light.dtype)
-    if canonical:
+    if sampler_matched:
+        grid = jnp.asarray(lcm_timesteps(
+            num_inference_steps, schedule.config.num_train_timesteps,
+            num_ddim_timesteps), jnp.int32)          # descending
+        i = jax.random.randint(t_rng, (batch,), 0, grid.shape[0] - 1)
+        t = grid[i]
+        t_next = grid[i + 1]                         # one sampler step down
+    elif canonical:
         t, t_next = sample_canonical_pairs(
             t_rng, batch, schedule.config.num_train_timesteps,
             num_ddim_timesteps, num_inference_steps, stride=pair_stride)
@@ -161,8 +178,15 @@ def consistency_distillation_loss(
                               train=False).astype(jnp.float32)
     x_tf = x_t.astype(jnp.float32)
     x0_teacher = to_x0(x_tf, teacher_eps, alpha_t)
-    x_t_next = (jnp.sqrt(alpha_t_next) * x0_teacher +
-                jnp.sqrt(1 - alpha_t_next) * teacher_eps)
+    if sampler_matched:
+        # the deployed LCM sampler's transition: renoise x̂₀ with fresh noise
+        fresh = jax.random.normal(renoise_rng, x_tf.shape, jnp.float32)
+        x_t_next = (jnp.sqrt(alpha_t_next) * x0_teacher +
+                    jnp.sqrt(1 - alpha_t_next) * fresh)
+    else:
+        # deterministic DDIM map (same ε reused)
+        x_t_next = (jnp.sqrt(alpha_t_next) * x0_teacher +
+                    jnp.sqrt(1 - alpha_t_next) * teacher_eps)
     x_t_next = jax.lax.stop_gradient(x_t_next).astype(x_t.dtype)
 
     # Student prediction at (x_t, t).
@@ -221,7 +245,8 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                            mesh=None, donate: bool = True,
                            canonical: bool = False,
                            clip_x0: float = 1.5,
-                           pair_stride: Optional[int] = None) -> Callable:
+                           pair_stride: Optional[int] = None,
+                           sampler_matched: bool = False) -> Callable:
     """Jitted distillation train step.
 
     EMA decay default 0.95 follows the distillation components
@@ -241,7 +266,7 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                 state.ema_student_params, step_rng, batch["low_light"],
                 batch["normal_light"], num_ddim_timesteps,
                 num_inference_steps, canonical=canonical, clip_x0=clip_x0,
-                pair_stride=pair_stride)
+                pair_stride=pair_stride, sampler_matched=sampler_matched)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.student_params)
         updates, new_opt = state.tx.update(grads, state.opt_state,

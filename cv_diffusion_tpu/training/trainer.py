@@ -305,7 +305,8 @@ class DistillationTrainer:
                  val_loader=None, config: Optional[TrainConfig] = None,
                  num_ddim_timesteps: int = 50, ema_decay: float = 0.95,
                  mesh=None, canonical: bool = False,
-                 pair_stride: Optional[int] = None):
+                 pair_stride: Optional[int] = None,
+                 sampler_matched: bool = False):
         from ..models.distillation import (create_distillation_state,
                                            make_distillation_step)
         from .train_state import make_optimizer
@@ -334,7 +335,8 @@ class DistillationTrainer:
             model, schedule, ema_decay=ema_decay,
             num_ddim_timesteps=num_ddim_timesteps,
             num_inference_steps=self.config.num_inference_steps,
-            mesh=self.mesh, canonical=canonical, pair_stride=pair_stride)
+            mesh=self.mesh, canonical=canonical, pair_stride=pair_stride,
+            sampler_matched=sampler_matched)
         self._enhance = jax.jit(
             lambda params, k, x: enhance(
                 model, schedule, {"params": params}, k, x,

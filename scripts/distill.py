@@ -44,6 +44,10 @@ def main():
                    help="DDIM grid points per teacher step in --canonical "
                         "mode (default: the reference's N/num_steps skip; "
                         "1 = adjacent-point consistency distillation)")
+    p.add_argument("--sampler_matched", action="store_true",
+                   help="Distill over the deployed k-step LCM sampler's own "
+                        "grid and stochastic renoise transitions instead of "
+                        "DDIM trajectories")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
@@ -88,7 +92,8 @@ def main():
     trainer = DistillationTrainer(
         model, schedule, teacher, train_loader, val_loader, cfg,
         num_ddim_timesteps=args.num_ddim_timesteps, ema_decay=args.ema_decay,
-        canonical=args.canonical, pair_stride=args.pair_stride)
+        canonical=args.canonical, pair_stride=args.pair_stride,
+        sampler_matched=args.sampler_matched)
     trainer.train()
 
 

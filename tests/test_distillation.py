@@ -165,3 +165,13 @@ def test_canonical_pairs_stride_one():
     t, t_prev = np.asarray(t), np.asarray(t_prev)
     np.testing.assert_array_equal(t - t_prev, 20)  # adjacent grid points
     assert t_prev.min() >= 19 and t.max() <= 979
+
+
+def test_sampler_matched_loss_finite(setup):
+    model, schedule, teacher, student = setup
+    batch = _batch(jax.random.key(2))
+    loss = consistency_distillation_loss(
+        model, schedule, teacher, student, student, jax.random.key(3),
+        batch["low_light"], batch["normal_light"], sampler_matched=True)
+    assert np.isfinite(float(loss))
+    assert float(loss) >= 0
