@@ -268,7 +268,11 @@ class ServingPipeline:
             enable_compilation_cache(self.config.compilation_cache_dir)
         self.model = model
         self.schedule = schedule
-        self.params = params
+        # Commit params to device ONCE. load_params returns host numpy
+        # (backend-portable); leaving them host-side makes every call
+        # re-transfer the full weight tree (~2.6 s/call for small-bf16
+        # through the axon tunnel — measured as a 20x serving latency bug).
+        self.params = jax.device_put(params)
         self.pre = PreProcessor(self.config.image_size,
                                 self.config.keep_aspect)
         self.post = PostProcessor()

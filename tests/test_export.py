@@ -149,6 +149,19 @@ def test_serving_pipeline_end_to_end(tiny):
     assert out.dtype == np.uint8
 
 
+def test_serving_pipeline_commits_params_to_device(tiny):
+    """load_params returns host numpy; the pipeline must device_put once at
+    init or every call re-ships the full weight tree (measured 20x latency
+    bug through the remote-transfer tunnel)."""
+    model, schedule, params = tiny
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    pipe = ServingPipeline(model, schedule, host_params,
+                           ServingConfig(image_size=32,
+                                         num_inference_steps=2))
+    assert all(isinstance(l, jax.Array)
+               for l in jax.tree_util.tree_leaves(pipe.params))
+
+
 def test_serving_pipeline_from_package(tiny, tmp_path):
     model, schedule, params = tiny
     create_serving_package(str(tmp_path / "pkg"), model, schedule, params,
