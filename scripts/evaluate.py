@@ -59,6 +59,10 @@ def main():
         key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
         params = raw[key]
 
+    # commit weights to device once — host-numpy params would re-transfer
+    # the whole tree every batch (see ServingPipeline.__init__)
+    params = jax.device_put(params)
+
     ds = LowLightDataset(args.data_dir, image_size=args.image_size,
                          augment_data=False)
     loader = DataLoader(ds, args.batch_size)
