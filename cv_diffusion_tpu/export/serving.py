@@ -297,6 +297,36 @@ class ServingPipeline:
         out = self._fn(self.params, key_data, jnp.asarray(x))
         return self.post(np.asarray(out, dtype=np.float32), meta)
 
+    def batch(self, images, seed: Optional[int] = None):
+        """Enhance a list of uint8 HWC images in fixed-size device batches.
+
+        The reference pipeline is single-image
+        (``android_pipeline.py:336-389``); on an accelerator the throughput
+        sweet spot is batched, so this pads the final partial batch to
+        ``config.batch_size`` (one compiled program regardless of list
+        length) and runs the whole batch per dispatch. Returns a list of
+        uint8 arrays in input order.
+        """
+        bs = max(1, self.config.batch_size)
+        seed = self.config.seed if seed is None else seed
+        outs = []
+        for start in range(0, len(images), bs):
+            chunk = images[start:start + bs]
+            pre = [self.pre(img) for img in chunk]
+            x = np.stack([p[0][0] for p in pre])          # [n, S, S, 3]
+            n_valid = x.shape[0]
+            if n_valid < bs:                              # pad, same program
+                x = np.concatenate(
+                    [x, np.zeros((bs - n_valid,) + x.shape[1:], x.dtype)])
+            key_data = jax.random.key_data(
+                jax.random.key(seed + self._counter))
+            self._counter += 1
+            out = np.asarray(self._fn(self.params, key_data,
+                                      jnp.asarray(x)), dtype=np.float32)
+            for i in range(n_valid):
+                outs.append(self.post(out[i:i + 1], pre[i][1]))
+        return outs
+
     def benchmark(self, num_runs: int = 20, warmup: int = 3
                   ) -> Dict[str, float]:
         """Per-stage latency benchmark

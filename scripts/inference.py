@@ -23,7 +23,8 @@ def load_pipeline(args):
 
     cfg = ServingConfig(image_size=args.image_size,
                         num_inference_steps=args.num_steps,
-                        keep_aspect=not args.no_pad, seed=args.seed)
+                        keep_aspect=not args.no_pad, seed=args.seed,
+                        batch_size=args.batch_size)
     if args.format == "package":
         return ServingPipeline.from_package(args.model, cfg)
 
@@ -86,6 +87,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_ema", action="store_true",
                    help="Use the EMA weights from a training checkpoint")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="Device batch for folder mode (pipe.batch); "
+                        "1 = per-image (reference behavior)")
     args = p.parse_args()
 
     pipe = load_pipeline(args)
@@ -104,6 +108,18 @@ def main():
     if not files:
         print(f"No images found in {in_path}")
         sys.exit(1)
+    if args.batch_size > 1:
+        imgs = [np.array(Image.open(f).convert("RGB")) for f in files]
+        t0 = time.perf_counter()
+        outs = pipe.batch(imgs)
+        dt = time.perf_counter() - t0
+        out_path.mkdir(parents=True, exist_ok=True)
+        for f, out in zip(files, outs):
+            Image.fromarray(out).save(out_path / f.name)
+        print(f"{len(files)} images | batch {args.batch_size} | "
+              f"{dt:.2f} s total | {len(files) / dt:.2f} FPS "
+              f"(includes compile)")
+        return
     times = []
     for f in files:
         dt = enhance_file(pipe, f, out_path / f.name)

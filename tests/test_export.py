@@ -162,6 +162,29 @@ def test_serving_pipeline_commits_params_to_device(tiny):
                for l in jax.tree_util.tree_leaves(pipe.params))
 
 
+def test_serving_pipeline_batch(tiny):
+    """batch(): fixed-size padded batches, outputs in order, uint8."""
+    model, schedule, params = tiny
+    pipe = ServingPipeline(model, schedule, params,
+                           ServingConfig(image_size=32,
+                                         num_inference_steps=2,
+                                         batch_size=2))
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 60, (40, 60, 3), dtype=np.uint8)
+            for _ in range(3)]  # 2 batches: [2, pad(1->2)]
+    outs = pipe.batch(imgs)
+    assert len(outs) == 3
+    for o in outs:
+        assert o.shape == (40, 60, 3) and o.dtype == np.uint8
+    # deterministic given the same pipeline state
+    pipe2 = ServingPipeline(model, schedule, params,
+                            ServingConfig(image_size=32,
+                                          num_inference_steps=2,
+                                          batch_size=2))
+    outs2 = pipe2.batch(imgs)
+    np.testing.assert_array_equal(outs[0], outs2[0])
+
+
 def test_serving_pipeline_from_package(tiny, tmp_path):
     model, schedule, params = tiny
     create_serving_package(str(tmp_path / "pkg"), model, schedule, params,
