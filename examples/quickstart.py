@@ -52,3 +52,8 @@ pipe = ServingPipeline.from_package("/tmp/quickstart_pkg")
 img = np.random.default_rng(0).integers(0, 60, (80, 120, 3), dtype=np.uint8)
 enhanced = pipe(img)
 print("served:", enhanced.shape, enhanced.dtype, "->", pkg["config"])
+
+# Batched serving: a list of images runs in fixed-size padded device batches
+# (one compiled program regardless of list length).
+batch_out = pipe.batch([img, img, img])
+print("batched:", len(batch_out), batch_out[0].shape)
