@@ -102,8 +102,12 @@ def run_config(variant, image_size, steps, batch, iters, warmup, dtype,
         minval=-1.0, maxval=-0.5))
     low = make_low(jax.random.key(1))
 
+    # Scoped-VMEM 64M: larger fusion scratch, +2-2.6% measured on-chip
+    # (utils/compile_opts.py); None on CPU.
+    from cv_diffusion_tpu.utils.compile_opts import tpu_compiler_options
     enh = jax.jit(lambda v, k, x: enhance(model, schedule, v, k, x,
-                                          num_inference_steps=steps))
+                                          num_inference_steps=steps),
+                  compiler_options=tpu_compiler_options())
 
     # Warmup / compile
     out = enh(variables, jax.random.key(2), low)

@@ -276,8 +276,10 @@ class ServingPipeline:
         self.pre = PreProcessor(self.config.image_size,
                                 self.config.keep_aspect)
         self.post = PostProcessor()
+        from ..utils.compile_opts import tpu_compiler_options
         self._fn = jax.jit(make_sample_fn(model, schedule,
-                                          self.config.num_inference_steps))
+                                          self.config.num_inference_steps),
+                           compiler_options=tpu_compiler_options())
         self._counter = 0
 
     @classmethod

@@ -77,3 +77,15 @@ def test_cli_help(script):
         capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert "usage" in out.stdout.lower()
+
+
+def test_tpu_compiler_options_cpu_gated():
+    """TPU compile options must be None on CPU (CPU XLA rejects TPU flags)
+    and a str->str dict otherwise (XLA env-schema typed)."""
+    from cv_diffusion_tpu.utils.compile_opts import (tpu_compiler_options,
+                                                     TPU_COMPILER_OPTIONS)
+    import jax
+    assert jax.default_backend() == "cpu"  # conftest forces the CPU mesh
+    assert tpu_compiler_options() is None
+    assert all(isinstance(k, str) and isinstance(v, str)
+               for k, v in TPU_COMPILER_OPTIONS.items())
