@@ -38,4 +38,6 @@ def make_sharded_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
                       num_inference_steps=num_inference_steps)
         return out.astype(jnp.float32)
 
-    return jax.jit(fn, in_shardings=(repl, None, bsh), out_shardings=bsh)
+    from ..utils.compile_opts import tpu_compiler_options
+    return jax.jit(fn, in_shardings=(repl, None, bsh), out_shardings=bsh,
+                   compiler_options=tpu_compiler_options())

@@ -35,8 +35,10 @@ def benchmark_sampler(args):
         low = jax.jit(lambda k: jax.random.uniform(
             k, (batch, args.image_size, args.image_size, 3),
             minval=-1.0, maxval=-0.5))(jax.random.key(1))
+        from cv_diffusion_tpu.utils.compile_opts import tpu_compiler_options
         enh = jax.jit(lambda v, k, x: enhance(
-            model, schedule, v, k, x, num_inference_steps=args.num_steps))
+            model, schedule, v, k, x, num_inference_steps=args.num_steps),
+            compiler_options=tpu_compiler_options())
         out = enh(variables, jax.random.key(2), low)
         out.block_until_ready()
         times = []

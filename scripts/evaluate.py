@@ -67,9 +67,11 @@ def main():
                          augment_data=False)
     loader = DataLoader(ds, args.batch_size)
 
+    from cv_diffusion_tpu.utils.compile_opts import tpu_compiler_options
     enh = jax.jit(lambda v, k, x: enhance(model, schedule, {"params": v}, k,
                                           x,
-                                          num_inference_steps=args.num_steps))
+                                          num_inference_steps=args.num_steps),
+                  compiler_options=tpu_compiler_options())
 
     psnrs, ssims, maes = [], [], []
     rng = jax.random.key(args.seed)
