@@ -159,8 +159,13 @@ def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
+    # 64M scoped-VMEM fusion scratch: +2.9% on-chip on this step
+    # (499.4 -> 485.6 ms, small@256 b32 — BENCHMARKS.md); None on CPU.
+    from ..utils.compile_opts import tpu_compiler_options
+    copts = tpu_compiler_options()
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else (),
+                       compiler_options=copts)
 
     from ..parallel.mesh import batch_sharding, replicated_sharding
     repl = replicated_sharding(mesh)
@@ -170,6 +175,7 @@ def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
         in_shardings=(repl, {"low_light": bsh, "normal_light": bsh}),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=copts,
     )
 
 
