@@ -43,10 +43,20 @@ def main():
                    help="Run the regression sweep (8-step, 512², tiny/base "
                         "rows) instead of the single headline config; prints "
                         "one JSON line per config")
+    p.add_argument("--train", action="store_true",
+                   help="Benchmark the TRAINING step (fwd+bwd+optax+EMA, "
+                        "donated, production path) instead of the sampler; "
+                        "default batch 32")
     args = p.parse_args()
 
     if args.sweep:
         return run_sweep(args)
+    if args.train:
+        result = run_train(args.variant, args.image_size,
+                           32 if args.batch == 128 else args.batch,
+                           args.iters, args.warmup)
+        print(json.dumps(result))
+        return
 
     result = run_config(args.variant, args.image_size, args.steps, args.batch,
                         args.iters, args.warmup, args.dtype, args.params_dtype)
@@ -75,6 +85,53 @@ def run_sweep(args):
             result = {"metric": f"{variant}_{steps}step_{size}px_enhance_"
                                 f"throughput", "error": str(e)[:200]}
         print(json.dumps(result), flush=True)
+
+
+def run_train(variant, image_size, batch, iters, warmup):
+    """Training-step throughput (the full production step: value_and_grad,
+    optax update, EMA, donation, 64M scoped VMEM). Tracked per round like
+    the sampler rows; reference equivalent: ``src/training/trainer.py``
+    has no throughput instrumentation at all."""
+    from cv_diffusion_tpu.config import TrainConfig
+    from cv_diffusion_tpu.training.train_state import (create_train_state,
+                                                       make_train_step)
+
+    tcfg = TrainConfig(unet_variant=variant, image_size=image_size,
+                       batch_size=batch)
+    model, schedule = create_model(diffusion_config(variant,
+                                                    image_size=image_size,
+                                                    dtype="bfloat16"))
+    state = create_train_state(model, tcfg, jax.random.key(0))
+    jax.block_until_ready(state.params)
+    step = make_train_step(model, schedule, tcfg)
+    make_batch = jax.jit(lambda k: {
+        "low_light": jax.random.uniform(
+            k, (batch, image_size, image_size, 3), minval=-1.0, maxval=-0.5),
+        "normal_light": jax.random.uniform(
+            k, (batch, image_size, image_size, 3), minval=-0.2, maxval=1.0)})
+    batch_data = make_batch(jax.random.key(1))
+    jax.block_until_ready(batch_data)
+
+    state, _ = step(state, batch_data)          # compile
+    jax.block_until_ready(state.params)
+    for _ in range(warmup):
+        state, _ = step(state, batch_data)
+    jax.block_until_ready(state.params)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch_data)
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    return {
+        "metric": f"{variant}_train_step_{image_size}px_throughput",
+        "value": round(batch / p50, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }
 
 
 def run_config(variant, image_size, steps, batch, iters, warmup, dtype,
