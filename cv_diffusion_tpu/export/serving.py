@@ -311,7 +311,12 @@ class ServingPipeline:
         """
         bs = max(1, self.config.batch_size)
         seed = self.config.seed if seed is None else seed
-        outs = []
+        # Phase 1 — dispatch every chunk: jax dispatch is async, so the
+        # device pipelines chunk N+1's sampler while the host is still
+        # fetching/postprocessing chunk N in phase 2. Device outputs are
+        # small (batch × S × S × 3), so holding them all in flight is cheap
+        # next to the sampler's own temporaries.
+        in_flight = []
         for start in range(0, len(images), bs):
             chunk = images[start:start + bs]
             pre = [self.pre(img) for img in chunk]
@@ -323,10 +328,14 @@ class ServingPipeline:
             key_data = jax.random.key_data(
                 jax.random.key(seed + self._counter))
             self._counter += 1
-            out = np.asarray(self._fn(self.params, key_data,
-                                      jnp.asarray(x)), dtype=np.float32)
+            out = self._fn(self.params, key_data, jnp.asarray(x))
+            in_flight.append((out, [p[1] for p in pre], n_valid))
+        # Phase 2 — fetch + postprocess in order.
+        outs = []
+        for out, metas, n_valid in in_flight:
+            host = np.asarray(out, dtype=np.float32)
             for i in range(n_valid):
-                outs.append(self.post(out[i:i + 1], pre[i][1]))
+                outs.append(self.post(host[i:i + 1], metas[i]))
         return outs
 
     def benchmark(self, num_runs: int = 20, warmup: int = 3
