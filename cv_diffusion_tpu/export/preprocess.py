@@ -77,8 +77,11 @@ class PostProcessor:
         if cv2 is None:
             raise RuntimeError("cv2 required for serving postprocessing")
         img = np.asarray(output)[0]
-        # ·127.5 + 127.5, clip (``android_pipeline.py:160-163``)
-        img = np.clip(img * 127.5 + 127.5, 0, 255).astype(np.uint8)
+        if img.dtype != np.uint8:
+            # ·127.5 + 127.5, clip (``android_pipeline.py:160-163``).
+            # uint8 inputs already had this applied ON DEVICE (the serving
+            # sampler emits uint8 to quarter the device→host bytes).
+            img = np.clip(img * 127.5 + 127.5, 0, 255).astype(np.uint8)
         if meta.keep_aspect:
             top, bottom, left, right = meta.pad
             s = img.shape[0]
