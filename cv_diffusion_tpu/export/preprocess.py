@@ -34,11 +34,19 @@ class PreprocessMeta:
 
 
 class PreProcessor:
-    """uint8 HWC image → float32 [1, S, S, 3] in [-1, 1] + metadata."""
+    """uint8 HWC image → float32 [1, S, S, 3] in [-1, 1] + metadata.
 
-    def __init__(self, target_size: int = 256, keep_aspect: bool = True):
+    With ``normalize=False`` the resized/padded canvas is returned as
+    uint8 [1, S, S, 3] and the /127.5−1 is left to the caller — the
+    serving pipeline does it ON DEVICE so the host→device transfer moves
+    1 B/px instead of 4 (same f32 arithmetic, bit-identical).
+    """
+
+    def __init__(self, target_size: int = 256, keep_aspect: bool = True,
+                 normalize: bool = True):
         self.target_size = target_size
         self.keep_aspect = keep_aspect
+        self.normalize = normalize
 
     def __call__(self, image_u8: np.ndarray
                  ) -> Tuple[np.ndarray, PreprocessMeta]:
@@ -65,6 +73,8 @@ class PreProcessor:
                                 interpolation=cv2.INTER_LINEAR)
             meta = PreprocessMeta((h, w), s / max(h, w), (0, 0, 0, 0), False)
 
+        if not self.normalize:
+            return canvas[None], meta
         # /127.5 − 1 (``android_pipeline.py:118``)
         arr = canvas.astype(np.float32) / 127.5 - 1.0
         return arr[None], meta

@@ -274,18 +274,21 @@ class ServingPipeline:
         # through the axon tunnel — measured as a 20x serving latency bug).
         self.params = jax.device_put(params)
         self.pre = PreProcessor(self.config.image_size,
-                                self.config.keep_aspect)
+                                self.config.keep_aspect,
+                                normalize=False)   # device normalizes
         self.post = PostProcessor()
         from ..utils.compile_opts import tpu_compiler_options
         base_fn = make_sample_fn(model, schedule,
                                  self.config.num_inference_steps)
 
-        def u8_fn(params, key_data, low_light):
-            out = base_fn(params, key_data, low_light)
-            # Denormalize + cast ON DEVICE: the fetched output is uint8
-            # (1 B/px instead of f32's 4 — a 4x cut in device→host bytes,
-            # which dominates end-to-end serving). Same f32 arithmetic the
-            # host PostProcessor used, so results are bit-identical.
+        def u8_fn(params, key_data, low_u8):
+            # uint8 in, uint8 out: both transfer directions move 1 B/px
+            # instead of f32's 4 (the fetch dominates end-to-end serving).
+            # Normalize/denormalize run ON DEVICE with the same f32
+            # arithmetic the host pre/post used, so results are
+            # bit-identical.
+            low = low_u8.astype(jnp.float32) / 127.5 - 1.0
+            out = base_fn(params, key_data, low)
             return jnp.clip(out * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
 
         self._fn = jax.jit(u8_fn, compiler_options=tpu_compiler_options())
