@@ -122,9 +122,15 @@ def load_params(path: str, params_like=None):
 def load_raw(path: str):
     """Restore the raw saved tree (full training checkpoints: step, params,
     opt_state, rng [, ema_params]) without imposing a target structure.
-    Leaves come back as host numpy arrays (backend-portable)."""
+    Leaves come back as host numpy arrays (backend-portable): restore args
+    are built from the checkpoint's own metadata tree, so a TPU-saved
+    checkpoint loads on CPU and vice versa (orbax's default re-applies the
+    saved device shardings and fails cross-backend)."""
+    path = os.path.abspath(path)
     ckpt = ocp.PyTreeCheckpointer()
-    restored = ckpt.restore(os.path.abspath(path))
+    meta = ckpt.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restored = ckpt.restore(path, restore_args=_numpy_restore_args(tree))
     return jax.tree_util.tree_map(np.asarray, restored)
 
 

@@ -79,6 +79,127 @@ def _attention(sd, p: str, linear: bool) -> Dict[str, Any]:
     return out
 
 
+def _conv_inv(k) -> np.ndarray:
+    # kernel [kH, kW, I/g, O] → torch conv weight [O, I/g, kH, kW]
+    return np.transpose(np.asarray(k), (3, 2, 0, 1))
+
+
+def _dense_inv(k) -> np.ndarray:
+    return np.transpose(np.asarray(k), (1, 0))
+
+
+def _1x1_from_dense(k) -> np.ndarray:
+    # [I, O] → [O, I, 1, 1]
+    return np.transpose(np.asarray(k), (1, 0))[:, :, None, None]
+
+
+def _gn_inv(out, prefix: str, p: Dict[str, Any]) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _irb_inv(out, p: str, b: Dict[str, Any]) -> None:
+    _gn_inv(out, f"{p}.norm1", b["norm1"])
+    out[f"{p}.expand.weight"] = _conv_inv(b["expand"]["kernel"])
+    out[f"{p}.norm2.weight"] = np.asarray(b["norm2_scale"])
+    out[f"{p}.norm2.bias"] = np.asarray(b["norm2_bias"])
+    out[f"{p}.time_mlp.1.weight"] = _dense_inv(b["time_mlp"]["kernel"])
+    out[f"{p}.time_mlp.1.bias"] = np.asarray(b["time_mlp"]["bias"])
+    out[f"{p}.depthwise.weight"] = _conv_inv(b["depthwise"]["kernel"])
+    out[f"{p}.project.weight"] = _conv_inv(b["project"]["kernel"])
+    if "se" in b:
+        out[f"{p}.se.fc1.weight"] = _1x1_from_dense(b["se"]["fc1"]["kernel"])
+        out[f"{p}.se.fc1.bias"] = np.asarray(b["se"]["fc1"]["bias"])
+        out[f"{p}.se.fc2.weight"] = _1x1_from_dense(b["se"]["fc2"]["kernel"])
+        out[f"{p}.se.fc2.bias"] = np.asarray(b["se"]["fc2"]["bias"])
+    if "skip" in b:
+        out[f"{p}.skip.weight"] = _conv_inv(b["skip"]["kernel"])
+
+
+def _attention_inv(out, p: str, b: Dict[str, Any], linear: bool) -> None:
+    _gn_inv(out, f"{p}.norm", b["norm"])
+    out[f"{p}.to_qkv.weight"] = _conv_inv(b["to_qkv"]["kernel"])
+    if linear:
+        out[f"{p}.to_out.0.weight"] = _conv_inv(b["to_out"]["kernel"])
+        _gn_inv(out, f"{p}.to_out.1", b["out_norm"])
+    else:
+        out[f"{p}.to_out.weight"] = _conv_inv(b["to_out"]["kernel"])
+
+
+def export_unet_state_dict(params: Dict[str, Any],
+                           config: UNetConfig) -> Dict[str, np.ndarray]:
+    """flax params dict → reference-torch ``EfficientUNet.state_dict()``.
+
+    Exact inverse of :func:`convert_unet_state_dict` — lets weights trained
+    on TPU load into the reference implementation
+    (``/root/reference/src/models/efficient_unet.py``) via
+    ``model.load_state_dict({k: torch.tensor(v) for k, v in out.items()})``.
+    Round-trip is bit-exact (values are only ever transposed/reshaped).
+    """
+    def _to_f32(tree):
+        if isinstance(tree, dict):
+            return {k: _to_f32(v) for k, v in tree.items()}
+        return np.asarray(tree, dtype=np.float32)  # handles jax/bf16 leaves
+
+    params = _to_f32(params)
+    out: Dict[str, np.ndarray] = {}
+    linear = config.use_linear_attention
+
+    out["time_mlp.1.weight"] = _dense_inv(params["time_mlp"]["dense1"]["kernel"])
+    out["time_mlp.1.bias"] = np.asarray(params["time_mlp"]["dense1"]["bias"])
+    out["time_mlp.3.weight"] = _dense_inv(params["time_mlp"]["dense2"]["kernel"])
+    out["time_mlp.3.bias"] = np.asarray(params["time_mlp"]["dense2"]["bias"])
+    out["init_conv.weight"] = _conv_inv(params["init_conv"]["kernel"])
+    out["init_conv.bias"] = np.asarray(params["init_conv"]["bias"])
+
+    channels = config.channels
+    current_res = config.image_size
+    for level in range(len(channels)):
+        attn_here = current_res in config.attention_resolutions
+        idx = 0
+        for block in range(config.num_res_blocks):
+            _irb_inv(out, f"encoder_blocks.{level}.{idx}",
+                     params[f"enc_{level}_{block}"])
+            idx += 1
+            if attn_here:
+                _attention_inv(out, f"encoder_blocks.{level}.{idx}",
+                               params[f"enc_attn_{level}_{block}"], linear)
+                idx += 1
+        if level < len(channels) - 1:
+            out[f"downsamplers.{level}.down.weight"] = _conv_inv(
+                params[f"down_{level}"]["conv"]["kernel"])
+            out[f"downsamplers.{level}.down.bias"] = np.asarray(
+                params[f"down_{level}"]["conv"]["bias"])
+            current_res //= 2
+
+    _irb_inv(out, "mid_block1", params["mid_block1"])
+    _attention_inv(out, "mid_attn", params["mid_attn"], linear)
+    _irb_inv(out, "mid_block2", params["mid_block2"])
+
+    for level in range(len(channels)):
+        attn_here = current_res in config.attention_resolutions
+        idx = 0
+        for block in range(config.num_res_blocks + 1):
+            _irb_inv(out, f"decoder_blocks.{level}.{idx}",
+                     params[f"dec_{level}_{block}"])
+            idx += 1
+            if attn_here:
+                _attention_inv(out, f"decoder_blocks.{level}.{idx}",
+                               params[f"dec_attn_{level}_{block}"], linear)
+                idx += 1
+        if level < len(channels) - 1:
+            out[f"upsamplers.{level}.conv.weight"] = _conv_inv(
+                params[f"up_{level}"]["conv"]["kernel"])
+            out[f"upsamplers.{level}.conv.bias"] = np.asarray(
+                params[f"up_{level}"]["conv"]["bias"])
+            current_res *= 2
+
+    _gn_inv(out, "final_norm", params["final_norm"])
+    out["final_conv.weight"] = _conv_inv(params["final_conv"]["kernel"])
+    out["final_conv.bias"] = np.asarray(params["final_conv"]["bias"])
+    return out
+
+
 def convert_unet_state_dict(sd: Dict[str, Any],
                             config: UNetConfig) -> Dict[str, Any]:
     """torch ``EfficientUNet.state_dict()`` → flax params dict.

@@ -85,6 +85,33 @@ def test_param_tree_is_complete(parity_pair):
     assert n_torch == n_flax
 
 
+def test_state_dict_round_trip(parity_pair):
+    """flax → torch export is the exact inverse of the torch → flax import.
+
+    Every key of the reference ``state_dict`` must come back bit-exact and
+    ``load_state_dict(strict=True)`` must accept the exported dict — this is
+    the path by which TPU-trained weights flow back into the reference
+    implementation (``src/models/efficient_unet.py``)."""
+    from cv_diffusion_tpu.config import unet_config
+    from cv_diffusion_tpu.utils.torch_compat import export_unet_state_dict
+
+    tmodel, _, variables = parity_pair
+    cfg = unet_config("small", image_size=64, in_channels=6)
+    exported = export_unet_state_dict(variables["params"], cfg)
+
+    original = {k: v.detach().cpu().numpy()
+                for k, v in tmodel.state_dict().items()}
+    assert set(exported) == set(original)
+    for k in original:
+        np.testing.assert_array_equal(exported[k], original[k], err_msg=k)
+
+    # strict load into a fresh reference model must succeed
+    ref = _load_reference_module()
+    fresh = ref.create_efficient_unet("small", image_size=64, in_channels=6)
+    fresh.load_state_dict({k: torch.tensor(v) for k, v in exported.items()},
+                          strict=True)
+
+
 def test_full_sampler_parity_with_injected_noise(parity_pair):
     """End-to-end 4-step LCM sampling parity against the reference.
 

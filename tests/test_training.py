@@ -183,6 +183,28 @@ def test_save_load_params_only(tiny_setup, tmp_path):
     assert meta["image_size"] == 32
 
 
+def test_load_raw_restores_without_target(tiny_setup, tmp_path):
+    """load_raw must rebuild restore args from the checkpoint's own metadata
+    (no target tree) so a checkpoint saved on one backend loads on another —
+    orbax's default re-applies saved device shardings and fails cross-backend
+    ('sharding ... Got None')."""
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    path = str(tmp_path / "raw_ckpt")
+    checkpoint.save_checkpoint(path, state, epoch=0, best_val_loss=1.0,
+                               config_json=to_json(cfg))
+
+    raw = checkpoint.load_raw(path)
+    assert set(raw) >= {"step", "params", "opt_state", "rng", "ema_params"}
+    for leaf in jax.tree_util.tree_leaves(raw):
+        assert isinstance(leaf, np.ndarray)  # host numpy, backend-portable
+    for a, b in zip(jax.tree_util.tree_leaves(raw["ema_params"]),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
 def test_psnr_golden():
     a = jnp.zeros((1, 8, 8, 3))
     b = jnp.full((1, 8, 8, 3), 0.1)
