@@ -32,8 +32,9 @@ def main():
     p.add_argument("--variant", default="small")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--steps", type=int, default=4)
-    # 128 ≈ HBM-optimal for the small variant at 256² (256 OOMs at 27G/16G).
-    p.add_argument("--batch", type=int, default=128)
+    # 128 ≈ HBM-optimal for the small variant at 256² (256 OOMs at 27G/16G);
+    # None → 128 for the sampler, 32 for --train.
+    p.add_argument("--batch", type=int, default=None)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", default="bfloat16")
@@ -53,12 +54,13 @@ def main():
         return run_sweep(args)
     if args.train:
         result = run_train(args.variant, args.image_size,
-                           32 if args.batch == 128 else args.batch,
+                           args.batch if args.batch is not None else 32,
                            args.iters, args.warmup)
         print(json.dumps(result))
         return
 
-    result = run_config(args.variant, args.image_size, args.steps, args.batch,
+    batch = args.batch if args.batch is not None else 128
+    result = run_config(args.variant, args.image_size, args.steps, batch,
                         args.iters, args.warmup, args.dtype, args.params_dtype)
     print(json.dumps(result))
 

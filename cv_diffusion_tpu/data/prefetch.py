@@ -41,11 +41,16 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err = []
+        stop = threading.Event()
 
         def produce():
             try:
                 for batch in self.loader:
+                    if stop.is_set():
+                        return
                     q.put(batch)
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
@@ -60,7 +65,10 @@ class PrefetchLoader:
                     break
                 yield item
         finally:
-            # Unblock the producer if the consumer stopped early.
+            # Consumer stopped early (break / next(iter(...))): signal the
+            # producer so it assembles at most one more batch instead of
+            # decoding the rest of the epoch into the void, then drain.
+            stop.set()
             while t.is_alive():
                 try:
                     q.get_nowait()

@@ -191,11 +191,25 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
     files["schedule"] = str(out / "noise_schedule.npz")
 
     if include_graph:
-        fp32_params = params if codec == "fp32" else (
-            dequantize_int8(qparams) if codec == "int8" else qparams)
-        export_stablehlo(model, schedule, fp32_params, batch_size,
-                         num_inference_steps,
-                         path=str(out / "sampler.stablehlo"))
+        if codec == "int8_act":
+            # The graph must match the package's declared compute path:
+            # trace through the act_quant model with the calibrated scales
+            # so the artifact executes the same int8 convs serving does.
+            qmodel = LowLightDiffusion(model_cfg_out)
+            graph_vars = {
+                "params": qparams,
+                "act_scales": jax.tree_util.tree_map(jnp.asarray,
+                                                     act_scales),
+            }
+            export_stablehlo(qmodel, schedule, graph_vars, batch_size,
+                             num_inference_steps,
+                             path=str(out / "sampler.stablehlo"))
+        else:
+            fp32_params = params if codec == "fp32" else (
+                dequantize_int8(qparams) if codec == "int8" else qparams)
+            export_stablehlo(model, schedule, fp32_params, batch_size,
+                             num_inference_steps,
+                             path=str(out / "sampler.stablehlo"))
         files["graph"] = str(out / "sampler.stablehlo")
     return files
 

@@ -109,9 +109,11 @@ def gn2_film_affine_gram(xhat: jnp.ndarray, wexp: jnp.ndarray,
     g = gram[:, :cin, :cin]
     asum = gram[:, cin, :cin]                                # Σ_p x̂
     wf = wexp.astype(jnp.float32)
-    m1 = jnp.einsum("bc,ce->be", asum, wf) / n               # E[h1_c]
-    gw = jnp.einsum("bcd,de->bce", g, wf)
-    m2 = jnp.einsum("ce,bce->be", wf, gw) / n                # E[h1_c²]
+    # The W-projections feed the same E[h²]−E[h]² cancellation — they need
+    # the same precision treatment as the Gram itself.
+    m1 = jnp.einsum("bc,ce->be", asum, wf, precision=prec) / n   # E[h1_c]
+    gw = jnp.einsum("bcd,de->bce", g, wf, precision=prec)
+    m2 = jnp.einsum("ce,bce->be", wf, gw, precision=prec) / n    # E[h1_c²]
     mg = jnp.mean(m1.reshape(b, num_groups, chid // num_groups), axis=2)
     eg2 = jnp.mean(m2.reshape(b, num_groups, chid // num_groups), axis=2)
     var = jnp.maximum(eg2 - mg * mg, 0.0)

@@ -591,13 +591,20 @@ def _folded_gn_scales(x, wexp, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
     aug = jnp.concatenate(
         [xhat.reshape(b, n, cin),
          jnp.ones((b, n, 1), jnp.float32)], axis=-1)
-    gram = jnp.einsum("bpc,bpd->bcd", aug, aug)                  # [B, C+1, C+1]
+    # The E[h²]−E[h]² identity needs full-precision dots for f32 models:
+    # TPU f32 einsums default to bf16 multiplies and the cancellation goes
+    # negative (same fix as ops/norms.gn2_film_affine_gram).
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    gram = jnp.einsum("bpc,bpd->bcd", aug, aug,
+                      preferred_element_type=jnp.float32,
+                      precision=prec)                            # [B, C+1, C+1]
     g = gram[:, :cin, :cin]
     asum = gram[:, cin, :cin]                                    # Σ_p x̂
     wf = wexp.astype(jnp.float32)
-    m1 = jnp.einsum("bc,ce->be", asum, wf) / n                   # E[h1_c]
-    gw = jnp.einsum("bcd,de->bce", g, wf)
-    m2 = jnp.einsum("ce,bce->be", wf, gw) / n                    # E[h1_c²]
+    m1 = jnp.einsum("bc,ce->be", asum, wf, precision=prec) / n   # E[h1_c]
+    gw = jnp.einsum("bcd,de->bce", g, wf, precision=prec)
+    m2 = jnp.einsum("ce,bce->be", wf, gw, precision=prec) / n    # E[h1_c²]
     mg = jnp.mean(m1.reshape(b, g2, chid // g2), axis=2)         # [B, G2]
     eg2 = jnp.mean(m2.reshape(b, g2, chid // g2), axis=2)
     var2 = jnp.maximum(eg2 - mg * mg, 0.0)

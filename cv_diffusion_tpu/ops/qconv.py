@@ -94,12 +94,17 @@ class QConv(nn.Module):
         if calibrating:
             amax.value = jnp.maximum(
                 amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
-        # During calibration (and for any module still at amax==0, i.e.
-        # uncalibrated) run the float path so recorded stats are exact.
-        if calibrating:
+            # During calibration run the float path so recorded stats are
+            # exact.
             return self._float_conv(x, kernel)
 
-        s_x = jnp.maximum(amax.value, 1e-6) / 127.0
+        # A module still at amax==0 (never calibrated, no static bound)
+        # falls back to a DYNAMIC per-batch scale — the reference's dynamic-
+        # quantization semantics — instead of saturating everything against
+        # a degenerate 1e-6 scale.
+        amax_eff = jnp.where(amax.value > 0.0, amax.value,
+                             jnp.max(jnp.abs(x.astype(jnp.float32))))
+        s_x = jnp.maximum(amax_eff, 1e-6) / 127.0
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                       -127, 127).astype(jnp.int8)
 

@@ -7,6 +7,10 @@ Usage:
 Loads the torch checkpoint (``model_state_dict`` with ``unet.``-prefixed keys,
 as written by the reference trainer), converts the UNet weights to an NHWC
 flax tree, verifies shapes, and writes a TPU serving package.
+
+The reverse direction (TPU-trained weights → reference PyTorch model) is
+``utils.torch_compat.export_unet_state_dict``; ``scripts/parity_eval.py``
+uses it to run both frameworks' samplers on the same trained weights.
 """
 
 import sys

@@ -188,6 +188,34 @@ def test_prefetch_loader_equivalence(lol_dir):
             np.testing.assert_array_equal(bb["low_light"], bp["low_light"])
 
 
+def test_prefetch_loader_early_stop_does_not_drain_epoch():
+    """Breaking out of a PrefetchLoader (sample grids, max_batches eval)
+    must stop the producer after at most prefetch+2 batches — not decode
+    the whole remaining epoch into the void."""
+    import time
+    from cv_diffusion_tpu.data.prefetch import PrefetchLoader
+
+    produced = []
+
+    class Counting:
+        def __len__(self):
+            return 1000
+
+        def __iter__(self):
+            for i in range(1000):
+                produced.append(i)
+                yield {"low_light": np.full(1, i)}
+
+    pre = PrefetchLoader(Counting(), prefetch=2)
+    first = next(iter(pre))
+    np.testing.assert_array_equal(first["low_light"], np.zeros(1))
+    # Give the (now-signalled) producer a moment to wind down.
+    deadline = time.time() + 5.0
+    while time.time() < deadline and len(produced) > 990:
+        time.sleep(0.01)
+    assert len(produced) <= 6, f"producer ran on: {len(produced)} batches"
+
+
 def test_prefetch_loader_propagates_errors():
     from cv_diffusion_tpu.data.prefetch import PrefetchLoader
 

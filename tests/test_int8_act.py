@@ -85,6 +85,26 @@ def test_calibration_and_int8_forward_accuracy(setup):
     assert err < 0.15, f"int8 sampler diverged from float: MAE {err:.3f}"
 
 
+def test_uncalibrated_modules_fall_back_to_dynamic_scales(setup):
+    """An act_quant model applied WITHOUT calibration must not saturate:
+    modules still at amax==0 fall back to a dynamic per-batch scale (the
+    reference's dynamic-quantization semantics) instead of quantizing
+    against a degenerate 1e-6 amax."""
+    cfg, model, schedule, params, qmodel = setup
+    qvars = init_model(qmodel, jax.random.key(0))  # uncalibrated scales
+
+    low = _batches(1)[0]["low_light"]
+    out_f = enhance(model, schedule, {"params": params}, jax.random.key(5),
+                    low, num_inference_steps=2)
+    out_q = enhance(qmodel, schedule,
+                    {"params": params, "act_scales": qvars["act_scales"]},
+                    jax.random.key(5), low, num_inference_steps=2)
+    assert np.isfinite(np.asarray(out_q, np.float32)).all()
+    err = float(jnp.mean(jnp.abs(out_q.astype(jnp.float32)
+                                 - out_f.astype(jnp.float32))))
+    assert err < 0.15, f"uncalibrated int8 diverged from float: MAE {err:.3f}"
+
+
 def test_int8_act_serving_package_roundtrip(setup, tmp_path):
     from cv_diffusion_tpu.export.serving import (create_serving_package,
                                                  load_serving_package,
@@ -109,6 +129,39 @@ def test_int8_act_serving_package_roundtrip(setup, tmp_path):
     out = fn(variables, key_data, jnp.asarray(low))
     assert out.shape == low.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int8_act_graph_traces_int8_compute(setup, tmp_path):
+    """include_graph on an int8_act package must serialize the QUANTIZED
+    sampler (traced through the act_quant model with the calibrated
+    scales), not a float graph mislabeled as int8 — the artifact must
+    reproduce the serving path's numerics."""
+    from cv_diffusion_tpu.export.serving import (create_serving_package,
+                                                 load_serving_package,
+                                                 load_stablehlo,
+                                                 make_sample_fn)
+
+    cfg, model, schedule, params, qmodel = setup
+    scales = calibrate_act_scales(qmodel, schedule, params, _batches(2))
+    files = create_serving_package(str(tmp_path / "pkg_g"), model, schedule,
+                                   params, num_inference_steps=2,
+                                   quantize="int8_act", act_scales=scales,
+                                   include_graph=True, batch_size=2)
+    assert "graph" in files
+
+    model2, schedule2, variables, meta = load_serving_package(
+        str(tmp_path / "pkg_g"))
+    low = _batches(1)[0]["low_light"]
+    key_data = jax.random.key_data(jax.random.key(0))
+    served = make_sample_fn(model2, schedule2, 2)(variables, key_data,
+                                                  jnp.asarray(low))
+    graph_fn = load_stablehlo(files["graph"])
+    graph_vars = {"params": variables["params"],
+                  "act_scales": variables["act_scales"]}
+    from_graph = graph_fn(graph_vars, key_data, jnp.asarray(low))
+    np.testing.assert_allclose(np.asarray(from_graph, np.float32),
+                               np.asarray(served, np.float32),
+                               atol=2e-2)
 
 
 def test_int8_act_package_requires_scales(setup, tmp_path):
