@@ -70,7 +70,8 @@ def test_default_yaml_parses():
 
 @pytest.mark.parametrize("script", ["train.py", "inference.py", "export.py",
                                     "benchmark.py", "distill.py",
-                                    "evaluate.py"])
+                                    "evaluate.py", "profile.py",
+                                    "parity_eval.py"])
 def test_cli_help(script):
     out = subprocess.run(
         [sys.executable, str(REPO / "scripts" / script), "--help"],
