@@ -61,6 +61,25 @@ def benchmark_sampler(args):
     return results
 
 
+def benchmark_model(args):
+    """Benchmark a TRAINED artifact end-to-end (uint8→uint8, per-stage) —
+    the reference's benchmark-an-exported-model path
+    (``scripts/benchmark.py:47-128`` with --model/--format)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from inference import load_pipeline
+
+    pipe = load_pipeline(args)
+    stats = pipe.benchmark(num_runs=args.num_runs)
+    print(f"\nEnd-to-end pipeline ({args.format}: {args.model}):")
+    for k, v in stats.items():
+        print(f"  {k:>16}: {v:.2f}")
+    budget_ms = 1000.0 / REALTIME_FPS
+    verdict = ("REAL-TIME ✓" if stats["mean_ms"] <= budget_ms
+               else "not real-time")
+    print(f"\nBatch-1 end-to-end: {stats['mean_ms']:.1f} ms vs "
+          f"{budget_ms:.1f} ms budget ({REALTIME_FPS:.0f} FPS): {verdict}")
+
+
 def main():
     p = argparse.ArgumentParser(description="Benchmark the TPU sampler")
     p.add_argument("--variant", type=str, default="small")
@@ -71,7 +90,21 @@ def main():
     p.add_argument("--num_runs", type=int, default=10)
     p.add_argument("--profile", type=str, default=None,
                    help="Capture a jax.profiler trace to this directory")
+    p.add_argument("--model", type=str, default=None,
+                   help="Benchmark a trained artifact (checkpoint dir or "
+                        "serving package) end-to-end instead of a "
+                        "random-init variant")
+    p.add_argument("--format", type=str, default="checkpoint",
+                   choices=["checkpoint", "package"])
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    # load_pipeline compatibility (inference.py arg surface)
+    args.no_pad = False
+    args.batch_size = 1
+
+    if args.model:
+        return benchmark_model(args)
 
     print(f"Benchmarking {args.variant} @ {args.image_size}px, "
           f"{args.num_steps} LCM steps, {args.dtype}")
