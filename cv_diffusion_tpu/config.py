@@ -250,9 +250,11 @@ class TrainConfig:
     # Debugging: raise on NaN/Inf anywhere in the computation (the JAX
     # equivalent of a sanitizer pass; SURVEY §5 — the reference has none).
     debug_nans: bool = False
-    # Parallelism: number of data-parallel shards ("auto" = all local devices).
+    # Parallelism: mesh shape, e.g. (8,) pure-DP or (4, 2) data×spatial
+    # (None = auto: largest DP mesh the batch divides). mesh_axes=None
+    # derives names from the shape's rank (('data',) / ('data','spatial')).
     mesh_shape: Optional[Tuple[int, ...]] = None
-    mesh_axes: Tuple[str, ...] = ("data",)
+    mesh_axes: Optional[Tuple[str, ...]] = None
 
 
 @dataclass(frozen=True)

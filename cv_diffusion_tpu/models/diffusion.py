@@ -145,6 +145,15 @@ def train_forward(model: LowLightDiffusion, schedule: LCMSchedule,
     return {"noise_pred": noise_pred, "noise": noise, "timesteps": timesteps}
 
 
+def huber(pred: jnp.ndarray, target: jnp.ndarray,
+          delta: float = 1.0) -> jnp.ndarray:
+    """torch ``F.huber_loss`` semantics; the single huber implementation
+    (``diffusion_loss`` and ``distillation.huber_loss`` both use it)."""
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return jnp.mean(jnp.where(diff < delta, 0.5 * diff ** 2 / delta,
+                              diff - 0.5 * delta) * delta)
+
+
 def diffusion_loss(noise_pred: jnp.ndarray, noise: jnp.ndarray,
                    loss_type: str = "mse") -> jnp.ndarray:
     """mse / huber / l1 on ε (``low_light_diffusion.py:250-277``)."""
@@ -153,9 +162,7 @@ def diffusion_loss(noise_pred: jnp.ndarray, noise: jnp.ndarray,
     if loss_type == "mse":
         return jnp.mean((pred - target) ** 2)
     if loss_type == "huber":
-        # torch F.huber_loss(delta=1) semantics.
-        diff = jnp.abs(pred - target)
-        return jnp.mean(jnp.where(diff < 1.0, 0.5 * diff ** 2, diff - 0.5))
+        return huber(pred, target)
     if loss_type == "l1":
         return jnp.mean(jnp.abs(pred - target))
     raise ValueError(f"Unknown loss type: {loss_type}")

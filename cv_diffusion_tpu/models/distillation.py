@@ -43,11 +43,11 @@ def consistency_loss(model_output: jnp.ndarray,
 
 def huber_loss(model_output: jnp.ndarray, target_output: jnp.ndarray,
                delta: float = 1.0) -> jnp.ndarray:
-    """Huber loss, LCM-paper recommended (``lcm_scheduler.py:408-418``)."""
-    diff = jnp.abs(model_output.astype(jnp.float32) -
-                   target_output.astype(jnp.float32))
-    return jnp.mean(jnp.where(diff < delta, 0.5 * diff ** 2 / delta,
-                              diff - 0.5 * delta) * delta)
+    """Huber loss, LCM-paper recommended (``lcm_scheduler.py:408-418``).
+    Delegates to the single implementation in ``diffusion.huber``."""
+    from .diffusion import huber
+
+    return huber(model_output, target_output, delta)
 
 
 def sample_timestep_pairs(rng: jax.Array, batch_size: int,
@@ -62,14 +62,16 @@ def sample_timestep_pairs(rng: jax.Array, batch_size: int,
     (``rescale_betas_zero_snr``, the serving default) ᾱ₉₉₉ = 0 exactly and
     the x̂₀ = (x_t − √(1−ᾱ)ε)/√ᾱ parameterization is singular there — the
     loss NaNs on the first step (measured on-chip).  The reference ships
-    this code unwired, so it could never observe its own divide-by-zero."""
-    c = num_train_timesteps // num_ddim_timesteps
-    k = num_ddim_timesteps // num_inference_steps
-    idx = jax.random.randint(rng, (batch_size,), 0,
-                             num_ddim_timesteps - k - 1)
-    t = idx * c + c - 1
-    t_next = (idx + k) * c + c - 1
-    return t, t_next
+    this code unwired, so it could never observe its own divide-by-zero.
+
+    Delegates to ``scheduler.consistency_timestep_pairs`` (one
+    implementation, two historical signatures)."""
+    from .scheduler import consistency_timestep_pairs
+
+    return consistency_timestep_pairs(
+        rng, batch_size, num_inference_steps,
+        num_train_timesteps=num_train_timesteps,
+        num_ddim_timesteps=num_ddim_timesteps)
 
 
 def sample_canonical_pairs(rng: jax.Array, batch_size: int,
@@ -142,7 +144,7 @@ def consistency_distillation_loss(
     from .scheduler import lcm_timesteps
 
     batch = low_light.shape[0]
-    noise_rng, t_rng, renoise_rng = jax.random.split(rng, 3)
+    noise_rng, t_rng, renoise_rng, drop_rng = jax.random.split(rng, 4)
     noise = jax.random.normal(noise_rng, normal_light.shape,
                               dtype=normal_light.dtype)
     if sampler_matched:
@@ -189,9 +191,11 @@ def consistency_distillation_loss(
                     jnp.sqrt(1 - alpha_t_next) * teacher_eps)
     x_t_next = jax.lax.stop_gradient(x_t_next).astype(x_t.dtype)
 
-    # Student prediction at (x_t, t).
+    # Student prediction at (x_t, t); dropout RNG needed under train=True
+    # (models with dropout > 0 crash without it, same as train_forward).
     student_eps = model.apply({"params": student_params}, x_t, low_light, t,
-                              train=True).astype(jnp.float32)
+                              train=True,
+                              rngs={"dropout": drop_rng}).astype(jnp.float32)
     student_x0 = to_x0(x_tf, student_eps, alpha_t)
 
     # EMA-student target at (x_{t_next}, t_next) — no gradients.

@@ -237,11 +237,17 @@ def consistency_timestep_pairs(rng: jax.Array, batch_size: int,
 
     Equivalent of ``LCMTrainer.get_timestep_pairs``
     (``src/models/lcm_scheduler.py:367-394``): t = idx·c+c−1,
-    t_next = (idx+k)·c+c−1 with idx ~ U[0, N−k).
+    t_next = (idx+k)·c+c−1 — but with idx ~ U[0, N−k−1), excluding the
+    terminal grid point t_next=999: under the zero-terminal-SNR schedule
+    ᾱ₉₉₉ = 0 exactly and any x̂₀ = (x_t − √(1−ᾱ)ε)/√ᾱ there is a NaN
+    factory (the reference ships this code unwired and never observes its
+    own divide-by-zero).  Single implementation shared with
+    ``models.distillation.sample_timestep_pairs``.
     """
     c = num_train_timesteps // num_ddim_timesteps
     k = num_ddim_timesteps // num_inference_steps
-    idx = jax.random.randint(rng, (batch_size,), 0, num_ddim_timesteps - k)
+    idx = jax.random.randint(rng, (batch_size,), 0,
+                             num_ddim_timesteps - k - 1)
     t = idx * c + c - 1
     t_next = (idx + k) * c + c - 1
     return t, t_next

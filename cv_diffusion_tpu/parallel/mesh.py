@@ -88,14 +88,29 @@ def make_hybrid_mesh(ici_shape: Tuple[int, ...],
 
 
 def make_mesh(shape: Optional[Tuple[int, ...]] = None,
-              axis_names: Tuple[str, ...] = (DATA_AXIS, SPATIAL_AXIS),
+              axis_names: Optional[Tuple[str, ...]] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a mesh; default = all local devices on the data axis."""
+    """Build a mesh; default = all local devices on the data axis.
+
+    ``axis_names=None`` derives names from the shape's rank:
+    ``('data',)`` for 1-D, ``('data', 'spatial')`` for 2-D — so
+    ``make_mesh((8,))`` (pure DP, the TrainConfig.mesh_shape doc example)
+    works without passing names explicitly."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    if axis_names is None:
+        axis_names = (DATA_AXIS, SPATIAL_AXIS)
+        if shape is not None:
+            if len(shape) > 2:
+                raise ValueError(
+                    f"pass axis_names explicitly for {len(shape)}-D meshes")
+            axis_names = axis_names[:len(shape)]
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
+    if len(shape) != len(axis_names):
+        raise ValueError(f"mesh shape {shape} has {len(shape)} dims but "
+                         f"axis_names {axis_names} has {len(axis_names)}")
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} does not cover {n} devices")
     dev_array = np.asarray(devices).reshape(shape)
@@ -162,11 +177,14 @@ def pad_batch(batch, multiple: int):
 
 def auto_mesh(batch_size: int) -> Optional[Mesh]:
     """Largest data-parallel mesh compatible with ``batch_size``; ``None``
-    when only one device (or nothing divides)."""
-    import math
+    when only one device (or nothing divides).
 
+    "Largest compatible" = max d ≤ n_devices with batch_size % d == 0 —
+    NOT gcd(n, batch): on 8 devices with batch 12 the gcd is 4 but d=6
+    uses 50% more of the machine."""
     n = len(jax.devices())
-    d = math.gcd(n, batch_size)
+    d = max((k for k in range(1, min(n, batch_size) + 1)
+             if batch_size % k == 0), default=1)
     if d <= 1:
         return None
     return make_mesh((d, 1), devices=jax.devices()[:d])

@@ -56,7 +56,12 @@ def make_lr_schedule(config: TrainConfig, steps_per_epoch: int
       ``trainer.py:170-175``).
     """
     total_steps = max(1, steps_per_epoch * config.epochs)
-    warmup_steps = steps_per_epoch * config.warmup_epochs
+    # Clamp: short runs (epochs < warmup_epochs) must still decay — an
+    # unclamped warmup longer than the run makes cosine never leave warmup
+    # and gives onecycle pct_start > 1 (optax doesn't validate; the
+    # schedule silently peaks at ~lr/25).
+    warmup_steps = min(steps_per_epoch * config.warmup_epochs,
+                       total_steps // 2)
     if config.scheduler_type == "cosine":
         decay_steps = max(1, total_steps - warmup_steps)
         cosine = optax.cosine_decay_schedule(
@@ -88,9 +93,13 @@ def make_optimizer(config: TrainConfig, steps_per_epoch: int
 
 def create_train_state(model: LowLightDiffusion, config: TrainConfig,
                        rng: jax.Array, steps_per_epoch: int = 100,
-                       variables=None) -> TrainState:
+                       variables=None, tx=None) -> TrainState:
+    """``tx=None`` builds the optimizer from the config; pass the tx from
+    ``make_optimizer`` to share one (optimizer, schedule) construction with
+    the host loop (the Trainer logs the schedule's LR)."""
     init_rng, state_rng = jax.random.split(rng)
-    tx, _ = make_optimizer(config, steps_per_epoch)
+    if tx is None:
+        tx, _ = make_optimizer(config, steps_per_epoch)
 
     # Everything under jit: on remotely-compiled backends, eager init would
     # issue one compile per op (CLAUDE.md: the eager trap).

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,24 +87,24 @@ class Trainer:
             self.mesh = None
         elif mesh is None:
             from ..parallel.mesh import auto_mesh
-            self.mesh = (make_mesh(self.config.mesh_shape)
+            self.mesh = (make_mesh(self.config.mesh_shape,
+                                   self.config.mesh_axes)
                          if self.config.mesh_shape is not None
                          else auto_mesh(self.config.batch_size))
         else:
             self.mesh = mesh
 
         rng = jax.random.key(self.config.seed)
-        self.state = create_train_state(model, self.config, rng,
-                                        steps_per_epoch=len(train_loader))
         from .train_state import make_optimizer
-        _, self.lr_schedule = make_optimizer(self.config, len(train_loader))
+        tx, self.lr_schedule = make_optimizer(self.config, len(train_loader))
+        self.state = create_train_state(model, self.config, rng,
+                                        steps_per_epoch=len(train_loader),
+                                        tx=tx)
         self.train_step = make_train_step(model, schedule, self.config,
                                           mesh=self.mesh)
         self.eval_step = make_eval_step(model, schedule, self.config,
                                         mesh=self.mesh)
-        self._enhance = jax.jit(
-            lambda params, k, x: enhance(model, schedule, {"params": params},
-                                         k, x, num_inference_steps=4))
+        self._enhance_cache: Dict[int, Any] = {}
 
         self.epoch = 0
         self.best_val_loss = float("inf")
@@ -194,6 +194,18 @@ class Trainer:
         return (self.state.ema_params if self.state.ema_params is not None
                 else self.state.params)
 
+    def _enhance(self, params, key, low, num_inference_steps=None):
+        """Jitted full sampler, cached per step count (the step count is a
+        trace-static loop bound — one compiled program per value)."""
+        steps = (num_inference_steps if num_inference_steps is not None
+                 else self.config.num_inference_steps)
+        if steps not in self._enhance_cache:
+            model, schedule = self.model, self.schedule
+            self._enhance_cache[steps] = jax.jit(
+                lambda p, k, x: enhance(model, schedule, {"params": p}, k, x,
+                                        num_inference_steps=steps))
+        return self._enhance_cache[steps](params, key, low)
+
     def validate(self) -> float:
         """Validation under EMA weights; loss is mse (faithful to
         ``trainer.py:340-363``).
@@ -220,7 +232,7 @@ class Trainer:
             count += n_valid
         return total / max(1, count)
 
-    def evaluate_quality(self, num_inference_steps: int = 4,
+    def evaluate_quality(self, num_inference_steps: Optional[int] = None,
                          max_batches: Optional[int] = None) -> Dict[str, float]:
         """Full-sampler PSNR/SSIM eval on the val set — the LOL-15 parity
         metric the reference never computes (SURVEY §5/§6)."""
@@ -231,7 +243,8 @@ class Trainer:
             if max_batches is not None and i >= max_batches:
                 break
             rng, k = jax.random.split(rng)
-            out = self._enhance(params, k, jnp.asarray(batch["low_light"]))
+            out = self._enhance(params, k, jnp.asarray(batch["low_light"]),
+                                num_inference_steps=num_inference_steps)
             pred = jnp.clip(denormalize_image(out.astype(jnp.float32)),
                             0.0, 1.0)
             target = denormalize_image(jnp.asarray(batch["normal_light"]))
@@ -324,7 +337,7 @@ class DistillationTrainer:
         else:
             self.mesh = mesh
 
-        tx, self._lr_schedule = make_optimizer(self.config, len(train_loader))
+        tx, self.lr_schedule = make_optimizer(self.config, len(train_loader))
         # student starts as a (jitted, non-aliasing) copy of the teacher
         student = jax.jit(
             lambda t: jax.tree_util.tree_map(lambda p: p + 0, t))(
@@ -360,16 +373,22 @@ class DistillationTrainer:
               f"({self.config.epochs} epochs)")
         for epoch in range(self.epoch, self.config.epochs):
             self.epoch = epoch
-            total, count = 0.0, 0
             pbar = tqdm(self.train_loader, desc=f"Distill epoch {epoch}")
-            for batch in pbar:
+            # Host syncs on the loss only at log intervals (same deferred
+            # pattern as Trainer.train_epoch) — a per-step float() would
+            # stall the device pipeline on the remote backend.
+            pending = []
+            for batch_idx, batch in enumerate(pbar):
                 self.state, metrics = self.step_fn(
                     self.state, self._device_batch(batch))
-                total += float(metrics["loss"])
-                count += 1
-                if hasattr(pbar, "set_postfix"):
-                    pbar.set_postfix({"loss": total / count})
-            print(f"Distill epoch {epoch}: loss={total / max(1, count):.4f}")
+                pending.append(metrics["loss"])
+                if (batch_idx % self.config.log_interval == 0
+                        and hasattr(pbar, "set_postfix")):
+                    pbar.set_postfix({"loss": float(metrics["loss"])})
+            total = sum(float(l) for l in pending)
+            count = len(pending)
+            print(f"Distill epoch {epoch}: loss={total / max(1, count):.4f} "
+                  f"lr={float(self.lr_schedule(count * (epoch + 1))):.2e}")
             if (epoch + 1) % self.config.save_interval == 0:
                 self.save_student(f"student_epoch_{epoch}")
             if (epoch + 1) % self.config.sample_interval == 0:

@@ -167,6 +167,19 @@ def test_canonical_pairs_stride_one():
     assert t_prev.min() >= 19 and t.max() <= 979
 
 
+def test_distillation_loss_with_dropout_model():
+    """The student apply runs train=True; a model with dropout > 0 needs a
+    dropout RNG or flax raises InvalidRngError on the first step."""
+    cfg = diffusion_config("tiny", image_size=32, dropout=0.1)
+    model, schedule = create_model(cfg)
+    teacher = init_model(model, jax.random.key(0))["params"]
+    b = _batch(jax.random.key(3))
+    loss = consistency_distillation_loss(
+        model, schedule, teacher, teacher, teacher, jax.random.key(4),
+        b["low_light"], b["normal_light"])
+    assert np.isfinite(float(loss))
+
+
 def test_sampler_matched_loss_finite(setup):
     model, schedule, teacher, student = setup
     batch = _batch(jax.random.key(2))

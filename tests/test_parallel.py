@@ -29,6 +29,25 @@ def test_make_mesh_shapes():
         make_mesh((3, 2))
 
 
+def test_make_mesh_1d_pure_dp():
+    """TrainConfig.mesh_shape=(8,) (the documented pure-DP form) must build
+    a 1-axis mesh — axis names derive from the shape's rank."""
+    mesh = make_mesh((8,))
+    assert mesh.axis_names == ("data",)
+    assert mesh.shape["data"] == 8
+
+
+def test_auto_mesh_uses_largest_divisor():
+    """auto_mesh picks max d ≤ n_devices dividing the batch — not
+    gcd(n, batch): batch 12 on 8 devices must use 6 chips, not 4."""
+    from cv_diffusion_tpu.parallel.mesh import auto_mesh
+
+    assert auto_mesh(12).shape["data"] == 6
+    assert auto_mesh(6).shape["data"] == 6
+    assert auto_mesh(64).shape["data"] == 8
+    assert auto_mesh(1) is None
+
+
 def test_shard_batch_places_data():
     mesh = make_mesh((4, 2))
     batch = {"low_light": np.zeros((8, 32, 32, 3), np.float32)}

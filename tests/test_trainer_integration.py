@@ -53,6 +53,29 @@ def test_trainer_end_to_end(flat_dir, tmp_path):
     assert int(trainer.state.step) == 2 * len(train_loader)
 
 
+def test_evaluate_quality_respects_step_count(flat_dir, tmp_path):
+    """evaluate_quality(num_inference_steps=k) must actually sample with k
+    steps (it used to silently run a hardcoded 4); the default follows
+    TrainConfig.num_inference_steps."""
+    cfg = TrainConfig(
+        unet_variant="tiny", image_size=32, epochs=1, batch_size=4,
+        num_inference_steps=4, warmup_epochs=0,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    train_loader, _ = create_dataloaders(str(flat_dir), None, batch_size=4,
+                                         image_size=32, use_synthetic=True)
+    model, schedule = create_model(diffusion_config("tiny", image_size=32))
+    trainer = Trainer(model, schedule, train_loader,
+                      val_loader=train_loader, config=cfg, mesh=False)
+
+    m2 = trainer.evaluate_quality(num_inference_steps=2, max_batches=1)
+    assert set(trainer._enhance_cache) == {2}  # compiled FOR 2 steps
+    m4 = trainer.evaluate_quality(max_batches=1)  # config default
+    assert set(trainer._enhance_cache) == {2, 4}
+    for m in (m2, m4):
+        assert np.isfinite(m["psnr"]) and np.isfinite(m["ssim"])
+
+
 def test_trainer_resume(flat_dir, tmp_path):
     cfg = TrainConfig(
         unet_variant="tiny", image_size=32, epochs=1, batch_size=4,

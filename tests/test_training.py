@@ -71,6 +71,25 @@ def test_lr_schedule_onecycle():
     assert float(sched(0)) < 1e-3 / 10
 
 
+def test_lr_schedule_short_run_clamps_warmup():
+    """epochs < warmup_epochs must still produce a usable schedule: warmup
+    is clamped to half the run, so onecycle pct_start stays < 1 (optax
+    doesn't validate and would silently peak at ~lr/25) and cosine
+    actually decays instead of living inside warmup forever."""
+    one = make_lr_schedule(
+        _train_cfg(scheduler_type="onecycle", epochs=3, warmup_epochs=5,
+                   learning_rate=1e-4), steps_per_epoch=10)
+    peak = max(float(one(s)) for s in range(30))
+    assert peak == pytest.approx(1e-4, rel=1e-3)
+
+    cos = make_lr_schedule(
+        _train_cfg(scheduler_type="cosine", epochs=3, warmup_epochs=5,
+                   learning_rate=1e-4, min_lr=1e-6), steps_per_epoch=10)
+    assert max(float(cos(s)) for s in range(30)) == pytest.approx(
+        1e-4, rel=1e-3)
+    assert float(cos(30)) == pytest.approx(1e-6, rel=1e-2)  # decays
+
+
 def test_ema_update_lerp():
     params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
     ema = init_ema(params)
