@@ -36,6 +36,11 @@ def random_crop_coords(rng: np.random.Generator, h: int, w: int,
 
 
 def center_crop_coords(h: int, w: int, size: int) -> Tuple[int, int]:
+    # Same clear error as the random-crop path (and albumentations'
+    # CenterCrop): a negative top/left would silently Python-slice a
+    # few-row nonsense "image" and crash deep inside the model instead.
+    if h < size or w < size:
+        raise ValueError(f"image {h}x{w} smaller than crop {size}")
     return (h - size) // 2, (w - size) // 2
 
 

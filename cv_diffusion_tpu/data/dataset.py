@@ -150,8 +150,13 @@ class SyntheticLowLightDataset:
         self.gamma_range = gamma_range
         self.noise_level_range = noise_level_range
         self._rng = np.random.default_rng(seed)
+        if not self.root.is_dir():
+            raise ValueError(f"Image directory not found: {self.root}")
         self.images = sorted(f for f in self.root.iterdir()
-                             if f.suffix.lower() in extensions)
+                             if f.is_file() and f.suffix.lower() in extensions)
+        if not self.images:
+            raise ValueError(f"No images found in {self.root}\n"
+                             f"Supported extensions: {extensions}")
 
     def __len__(self) -> int:
         return len(self.images)
@@ -171,6 +176,28 @@ class SyntheticLowLightDataset:
                 "filename": self.images[idx].name}
 
 
+def num_batches(n: int, batch_size: int, drop_last: bool) -> int:
+    """Single ``len()`` formula shared by every loader (Python + native)."""
+    if drop_last:
+        return n // batch_size
+    return (n + batch_size - 1) // batch_size
+
+
+def epoch_batches(n: int, batch_size: int, rng: np.random.Generator,
+                  shuffle: bool, drop_last: bool) -> Iterator[np.ndarray]:
+    """Yield per-batch index arrays for one epoch — the single
+    shuffle/drop_last implementation shared by every loader, so batching
+    semantics cannot silently diverge between the Python and native paths."""
+    order = np.arange(n)
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, n, batch_size):
+        idxs = order[start:start + batch_size]
+        if drop_last and len(idxs) < batch_size:
+            return
+        yield idxs
+
+
 class DataLoader:
     """Epoch iterator yielding stacked NHWC numpy batches.
 
@@ -188,19 +215,11 @@ class DataLoader:
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return num_batches(len(self.dataset), self.batch_size, self.drop_last)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(order)
-        for start in range(0, len(order), self.batch_size):
-            idxs = order[start:start + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
-                return
+        for idxs in epoch_batches(len(self.dataset), self.batch_size,
+                                  self._rng, self.shuffle, self.drop_last):
             items = [self.dataset[int(i)] for i in idxs]
             yield {
                 "low_light": np.stack([it["low_light"] for it in items]),

@@ -138,4 +138,9 @@ def synthetic_low_light(rng: jax.Array, normal: jnp.ndarray,
     scale = jax.random.uniform(k_cs, (b, 1, 1, 3), minval=0.8, maxval=1.0)
     do_shift = (jax.random.uniform(k_cp, (b, 1, 1, 1)) < color_shift_p)
     noisy = jnp.clip(jnp.where(do_shift, noisy * scale, noisy), 0.0, 1.0)
-    return noisy * 2.0 - 1.0
+    # 8-bit quantization baked into the degraded input, matching the host
+    # (augment.py: *255→uint8→normalize) and C++ pipelines — a model must
+    # see the same input distribution regardless of which loader fed it.
+    noisy = jnp.round(noisy * 255.0) / 255.0
+    # clip: XLA may fuse /255*2 into one inexact multiply (255→1.0000001)
+    return jnp.clip(noisy * 2.0 - 1.0, -1.0, 1.0)

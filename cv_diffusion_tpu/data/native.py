@@ -175,20 +175,18 @@ class NativeDataLoader:
                    image_size, batch_size, **kwargs)
 
     def __len__(self) -> int:
-        n = len(self.low_paths)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        from .dataset import num_batches
+
+        return num_batches(len(self.low_paths), self.batch_size,
+                           self.drop_last)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = np.arange(len(self.low_paths))
-        if self.shuffle:
-            self._rng.shuffle(order)
+        from .dataset import epoch_batches
+
         self._epoch += 1
-        for bi, start in enumerate(range(0, len(order), self.batch_size)):
-            idxs = order[start:start + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
-                return
+        for bi, idxs in enumerate(epoch_batches(
+                len(self.low_paths), self.batch_size, self._rng,
+                self.shuffle, self.drop_last)):
             low, high, failed = load_pair_batch(
                 [self.low_paths[i] for i in idxs],
                 [self.high_paths[i] for i in idxs],
@@ -230,20 +228,17 @@ class NativeSyntheticDataLoader:
         self._epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.paths)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        from .dataset import num_batches
+
+        return num_batches(len(self.paths), self.batch_size, self.drop_last)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = np.arange(len(self.paths))
-        if self.shuffle:
-            self._rng.shuffle(order)
+        from .dataset import epoch_batches
+
         self._epoch += 1
-        for bi, start in enumerate(range(0, len(order), self.batch_size)):
-            idxs = order[start:start + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
-                return
+        for bi, idxs in enumerate(epoch_batches(
+                len(self.paths), self.batch_size, self._rng,
+                self.shuffle, self.drop_last)):
             low, high, failed = load_synth_batch(
                 [self.paths[i] for i in idxs], self.image_size,
                 seed=self._seed + self._epoch * 1_000_003 + bi,

@@ -72,43 +72,16 @@ def make_qat_train_step(model, schedule, train_config, mesh=None,
                         ) -> Callable:
     """Train step whose forward pass sees int8-fake-quantized weights.
 
-    Drop-in replacement for ``make_train_step`` — same state/batch signature.
-    """
-    import optax
-
-    from ..models.diffusion import diffusion_loss, train_forward
-    from ..training.ema import update_ema
+    Drop-in replacement for ``make_train_step`` — same state/batch
+    signature.  Delegates to the production step builder via its
+    ``params_transform`` hook, so EMA warmup, compiler options, sharding and
+    donation semantics are guaranteed identical to non-QAT training (an
+    earlier copy-pasted body had silently dropped EMA warmup and the
+    scoped-VMEM option)."""
+    from ..training.train_state import make_train_step
 
     qcfg = quant_config or QuantizationConfig()
-
-    def step_fn(state, batch):
-        rng, step_rng = jax.random.split(state.rng)
-
-        def loss_fn(params):
-            qparams = fake_quant_params(params, qcfg)
-            out = train_forward(model, schedule, {"params": qparams},
-                                step_rng, batch["low_light"],
-                                batch["normal_light"], train=True)
-            return diffusion_loss(out["noise_pred"], out["noise"],
-                                  train_config.loss_type)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_params, new_opt_state = state.apply_gradients(grads)
-        new_ema = state.ema_params
-        if new_ema is not None:
-            new_ema = update_ema(new_ema, new_params, train_config.ema_decay)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt_state, ema_params=new_ema,
-                                  rng=rng)
-        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
-
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-    from ..parallel.mesh import batch_sharding, replicated_sharding
-    repl = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
-    return jax.jit(step_fn,
-                   in_shardings=(repl, {"low_light": bsh,
-                                        "normal_light": bsh}),
-                   out_shardings=(repl, repl),
-                   donate_argnums=(0,) if donate else ())
+    return make_train_step(model, schedule, train_config, mesh=mesh,
+                           donate=donate,
+                           params_transform=lambda p: fake_quant_params(
+                               p, qcfg))

@@ -13,15 +13,18 @@ TPU-native replacement of the reference quantization stack
   weight-only quantization, which is what dominates memory/bandwidth for this
   model family.
 
-Like the reference's ``skip_layers`` (``quantization.py:58-61``), norm scales/
-biases and embedding-like small tensors stay in float32 — quantizing GN
-params saves nothing and hurts accuracy.
+Like the reference's ``skip_layers`` (``quantization.py:58-61``), the int8
+path keeps norm scales/biases and embedding-like small tensors in float32 —
+int8-quantizing GN params saves nothing and hurts accuracy.  bf16 casts
+everything by default: norm params are upcast to f32 at compute time, and
+keeping them f32 in storage measured 2% slower on-chip (broken epilogue
+fusions); ``quantize_bf16(skip_norm_params=True)`` opts into the skip rules.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,11 +48,31 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", p)) for p in path)
 
 
-def quantize_bf16(params):
-    """Cast float params to bf16 (``FP16Quantizer`` equivalent)."""
-    return jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+def quantize_bf16(params, skip_norm_params: bool = False,
+                  config: QuantizationConfig = QuantizationConfig()):
+    """Cast float params to bf16 (``FP16Quantizer`` equivalent).
+
+    Default: cast EVERYTHING.  Unlike int8 (where the skip rules protect
+    GN params from real quantization damage), bf16 norm scales/biases are
+    upcast to f32 at compute time anyway (``ops/norms.py``), so the only
+    loss is 8-bit-mantissa storage rounding — and keeping them f32 was
+    measured 2% SLOWER on-chip (126.8 vs 129.4 img/s headline: the f32
+    leaves break bf16 conv-epilogue fusions).  ``skip_norm_params=True``
+    applies the int8-style skip rules for cases where exact stored norm
+    params matter more than throughput."""
+    if not skip_norm_params:
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, p in flat:
+        name = _path_str(path).lower()
+        skip = (not jnp.issubdtype(p.dtype, jnp.floating)
+                or p.size < config.min_size
+                or any(pat in name for pat in config.skip_patterns))
+        out.append(p if skip else p.astype(jnp.bfloat16))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _quantize_tensor(p: jnp.ndarray, per_channel: bool
@@ -254,7 +277,29 @@ def calibrate_activations(model, schedule, variables, batches,
     from ..models.scheduler import add_noise
 
     rng = jax.random.key(0) if rng is None else rng
-    scales: Dict[str, float] = {}
+
+    def captured(variables, noisy, low, t):
+        _, state = model.apply(variables, noisy, low, t, train=False,
+                               capture_intermediates=True,
+                               mutable=["intermediates"])
+        return state["intermediates"]
+
+    # One jitted program per batch that reduces every intermediate to its
+    # absmax ON DEVICE and a single running-max vector; host fetches once at
+    # the end.  (The previous eager apply dispatched one remote compile per
+    # op on the axon backend — CLAUDE.md's eager trap — plus one blocking
+    # transfer per intermediate per batch.)
+    names: Optional[list] = None
+    running = None
+
+    @jax.jit
+    def absmax_step(variables, noisy, low, t, acc):
+        flat = jax.tree_util.tree_flatten_with_path(
+            captured(variables, noisy, low, t))[0]
+        vals = jnp.stack([jnp.max(jnp.abs(v.astype(jnp.float32)))
+                          for _, v in flat if hasattr(v, "dtype")])
+        return jnp.maximum(acc, vals)
+
     for i, batch in enumerate(batches):
         if i >= max_batches:
             break
@@ -265,18 +310,16 @@ def calibrate_activations(model, schedule, variables, batches,
                                schedule.config.num_train_timesteps)
         noise = jax.random.normal(n_rng, high.shape, high.dtype)
         noisy = add_noise(schedule, high, noise, t)
-        _, state = model.apply(variables, noisy, low, t, train=False,
-                               capture_intermediates=True,
-                               mutable=["intermediates"])
-        flat = jax.tree_util.tree_flatten_with_path(
-            state["intermediates"])[0]
-        for path, value in flat:
-            if not hasattr(value, "dtype"):
-                continue
-            name = _path_str(path)
-            m = float(jnp.max(jnp.abs(value.astype(jnp.float32))))
-            scales[name] = max(scales.get(name, 0.0), m)
-    return scales
+        if names is None:
+            shapes = jax.eval_shape(captured, variables, noisy, low, t)
+            flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+            names = [_path_str(p) for p, v in flat if hasattr(v, "dtype")]
+            running = jnp.zeros((len(names),), jnp.float32)
+        running = absmax_step(variables, noisy, low, t, running)
+    if names is None:
+        return {}
+    host = np.asarray(jax.device_get(running))
+    return {name: float(m) for name, m in zip(names, host)}
 
 
 def benchmark_quantized_model(model, schedule, params,

@@ -315,13 +315,20 @@ class ServingPipeline:
         model, schedule, params, _ = load_serving_package(package_dir)
         return cls(model, schedule, params, config)
 
+    def _next_key(self, seed: Optional[int]):
+        """Explicit seed → fully deterministic (same seed, same output);
+        no seed → config.seed advanced by a per-call counter (fresh noise
+        each call, the reference's unseeded-randn behavior)."""
+        if seed is None:
+            seed = self.config.seed + self._counter
+            self._counter += 1
+        return jax.random.key_data(jax.random.key(seed))
+
     def __call__(self, image_u8: np.ndarray,
                  seed: Optional[int] = None) -> np.ndarray:
         """Enhance one uint8 HWC image (``android_pipeline.py:336-389``)."""
         x, meta = self.pre(image_u8)
-        seed = self.config.seed if seed is None else seed
-        key_data = jax.random.key_data(jax.random.key(seed + self._counter))
-        self._counter += 1
+        key_data = self._next_key(seed)
         out = self._fn(self.params, key_data, jnp.asarray(x))
         return self.post(np.asarray(out), meta)
 
@@ -336,14 +343,13 @@ class ServingPipeline:
         uint8 arrays in input order.
         """
         bs = max(1, self.config.batch_size)
-        seed = self.config.seed if seed is None else seed
         # Phase 1 — dispatch every chunk: jax dispatch is async, so the
         # device pipelines chunk N+1's sampler while the host is still
         # fetching/postprocessing chunk N in phase 2. Device outputs are
         # small (batch × S × S × 3), so holding them all in flight is cheap
         # next to the sampler's own temporaries.
         in_flight = []
-        for start in range(0, len(images), bs):
+        for chunk_idx, start in enumerate(range(0, len(images), bs)):
             chunk = images[start:start + bs]
             pre = [self.pre(img) for img in chunk]
             x = np.stack([p[0][0] for p in pre])          # [n, S, S, 3]
@@ -351,9 +357,10 @@ class ServingPipeline:
             if n_valid < bs:                              # pad, same program
                 x = np.concatenate(
                     [x, np.zeros((bs - n_valid,) + x.shape[1:], x.dtype)])
-            key_data = jax.random.key_data(
-                jax.random.key(seed + self._counter))
-            self._counter += 1
+            # Explicit seed: deterministic per chunk (seed + chunk index),
+            # so the same call reproduces exactly; None: per-call counter.
+            key_data = self._next_key(
+                None if seed is None else seed + chunk_idx)
             out = self._fn(self.params, key_data, jnp.asarray(x))
             in_flight.append((out, [p[1] for p in pre], n_valid))
         # Phase 2 — fetch + postprocess in order.

@@ -564,9 +564,8 @@ def _folded_gn_scales(x, wexp, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
     trips it eliminates.
     """
     b, height, width, cin = x.shape
-    chid = wexp.shape[1]
     g1 = gn_num_groups(cin)
-    g2 = gn_num_groups(chid)
+    g2 = gn_num_groups(wexp.shape[1])
     n = height * width
     xf = x.astype(jnp.float32)
 
@@ -588,36 +587,15 @@ def _folded_gn_scales(x, wexp, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
         return jnp.clip(v, 0.0, 6.0)
 
     xhat = act(xf * a1[:, None, None, :] + b1[:, None, None, :])
-    aug = jnp.concatenate(
-        [xhat.reshape(b, n, cin),
-         jnp.ones((b, n, 1), jnp.float32)], axis=-1)
-    # The E[h²]−E[h]² identity needs full-precision dots for f32 models:
-    # TPU f32 einsums default to bf16 multiplies and the cancellation goes
-    # negative (same fix as ops/norms.gn2_film_affine_gram).
-    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else
-            jax.lax.Precision.DEFAULT)
-    gram = jnp.einsum("bpc,bpd->bcd", aug, aug,
-                      preferred_element_type=jnp.float32,
-                      precision=prec)                            # [B, C+1, C+1]
-    g = gram[:, :cin, :cin]
-    asum = gram[:, cin, :cin]                                    # Σ_p x̂
-    wf = wexp.astype(jnp.float32)
-    m1 = jnp.einsum("bc,ce->be", asum, wf, precision=prec) / n   # E[h1_c]
-    gw = jnp.einsum("bcd,de->bce", g, wf, precision=prec)
-    m2 = jnp.einsum("ce,bce->be", wf, gw, precision=prec) / n    # E[h1_c²]
-    mg = jnp.mean(m1.reshape(b, g2, chid // g2), axis=2)         # [B, G2]
-    eg2 = jnp.mean(m2.reshape(b, g2, chid // g2), axis=2)
-    var2 = jnp.maximum(eg2 - mg * mg, 0.0)
-    rstd2 = jax.lax.rsqrt(var2 + eps)
-    mean2c = jnp.repeat(mg, chid // g2, axis=1)                  # [B, Chid]
-    rstd2c = jnp.repeat(rstd2, chid // g2, axis=1)
+    # GN2⊕FiLM via the augmented Gram of x̂ — the single implementation in
+    # ops/norms.gn2_film_affine_gram (which carries the Precision.HIGHEST
+    # fix for the E[h²]−E[h]² cancellation under TPU's bf16-multiply f32
+    # dots); an earlier inline copy here had silently drifted from it.
+    from .norms import gn2_film_affine_gram
 
-    fs = 1.0 + film_scale.astype(jnp.float32)
-    fb = film_shift.astype(jnp.float32)
-    gamma2 = gn2_scale.astype(jnp.float32)[None]
-    beta2 = gn2_bias.astype(jnp.float32)[None]
-    a2 = rstd2c * gamma2 * fs
-    b2 = (beta2 - mean2c * rstd2c * gamma2) * fs + fb
+    a2, b2 = gn2_film_affine_gram(xhat, wexp, gn2_scale, gn2_bias,
+                                  film_scale, film_shift,
+                                  num_groups=g2, eps=eps)
     s1 = jnp.stack([a1, b1], axis=1)                             # [B, 2, Cin]
     s2 = jnp.stack([a2, b2], axis=1)                             # [B, 2, Chid]
     return s1, s2

@@ -136,11 +136,16 @@ def create_train_state(model: LowLightDiffusion, config: TrainConfig,
 def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
                     config: TrainConfig,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    params_transform: Optional[Callable] = None) -> Callable:
     """Build the jitted train step.
 
     Under a mesh, params/state are replicated and the batch is sharded on the
     data (and optionally spatial) axes; XLA inserts the gradient all-reduce.
+
+    ``params_transform``: optional pure fn applied to the params INSIDE the
+    loss (gradients flow through it) — the QAT fake-quant hook
+    (``export.qat.make_qat_train_step``); None = identity.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]
@@ -148,6 +153,8 @@ def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
         rng, step_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
+            if params_transform is not None:
+                params = params_transform(params)
             out = train_forward(model, schedule, {"params": params},
                                 step_rng, batch["low_light"],
                                 batch["normal_light"], train=True)

@@ -88,3 +88,7 @@ def test_synthetic_low_light_device():
     assert float(low.min()) >= -1.0 and float(low.max()) <= 1.0
     # gamma ≥ 2 darkens
     assert float(low.mean()) < float(normal.mean())
+    # 8-bit quantization baked in, matching the host/native pipelines
+    # (atol covers f32 rounding of r/255*255 round trips)
+    vals = (np.asarray(low, np.float32) + 1.0) / 2.0 * 255.0
+    np.testing.assert_allclose(vals, np.round(vals), atol=5e-2)

@@ -66,11 +66,22 @@ def test_preprocess_plain_resize():
 
 def test_quantize_bf16(tiny):
     _, _, params = tiny
+    # Default: full cast (norm params are upcast at compute time anyway;
+    # keeping them f32 measured 2% slower on-chip — see quantize_bf16).
     q = quantize_bf16(params)
     leaves = jax.tree_util.tree_leaves(q)
     assert all(l.dtype == jnp.bfloat16 for l in leaves)
     rep = quantization_report(params, q)
     assert rep["compression"] == pytest.approx(2.0, rel=0.01)
+
+    # Opt-in int8-style skip rules keep norm/bias/small tensors f32.
+    qs = quantize_bf16(params, skip_norm_params=True)
+    flat = jax.tree_util.tree_flatten_with_path(qs)[0]
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
+        skipped = (leaf.size < 256
+                   or any(s in name for s in ("norm", "bias", "scale")))
+        assert leaf.dtype == (jnp.float32 if skipped else jnp.bfloat16), name
 
 
 def test_quantize_int8_roundtrip(tiny):
@@ -183,6 +194,30 @@ def test_serving_pipeline_batch(tiny):
                                           batch_size=2))
     outs2 = pipe2.batch(imgs)
     np.testing.assert_array_equal(outs[0], outs2[0])
+
+
+def test_serving_explicit_seed_is_reproducible(tiny):
+    """An explicit per-call seed must reproduce exactly, regardless of how
+    many calls advanced the pipeline's internal counter before it (the
+    counter used to be silently added to explicit seeds)."""
+    model, schedule, params = tiny
+    pipe = ServingPipeline(model, schedule, params,
+                           ServingConfig(image_size=32,
+                                         num_inference_steps=2,
+                                         batch_size=2))
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 60, (40, 60, 3), dtype=np.uint8)
+    a = pipe(img, seed=42)
+    pipe(img)  # advances the counter
+    b = pipe(img, seed=42)
+    np.testing.assert_array_equal(a, b)
+    # unseeded calls draw fresh noise each time
+    assert not np.array_equal(pipe(img), pipe(img))
+    # batch(): same explicit seed → same outputs
+    imgs = [rng.integers(0, 60, (40, 60, 3), dtype=np.uint8)
+            for _ in range(3)]
+    np.testing.assert_array_equal(pipe.batch(imgs, seed=7)[2],
+                                  pipe.batch(imgs, seed=7)[2])
 
 
 def test_serving_pipeline_from_package(tiny, tmp_path):
