@@ -245,8 +245,11 @@ def load_serving_package(package_dir: str, use_pallas: Optional[bool] = None):
             jnp.zeros((1, model_cfg.image_size, model_cfg.image_size, 3),
                       jnp.dtype(model_cfg.unet.dtype)),
             jnp.zeros((1,), jnp.int32)), jax.random.key(0))
+    # Host numpy zeros, NOT jnp.zeros: the target tree only supplies
+    # shape/dtype to orbax, and eager jnp.zeros on the axon TPU backend is
+    # one remote compile per distinct param shape (minutes of load time).
     like = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)["params"]
+        lambda s: np.zeros(s.shape, s.dtype), var_shapes)["params"]
 
     codec = cfg.get("quantization", "fp32")
     if codec == "int8":
@@ -257,7 +260,7 @@ def load_serving_package(package_dir: str, use_pallas: Optional[bool] = None):
         restored = ckpt.load_params(
             str(out / "params"),
             jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.bfloat16), like))
+                lambda p: np.zeros(p.shape, jnp.bfloat16), like))
         params = restored  # serve in bf16 — that's the point of the codec
     else:
         params = ckpt.load_params(str(out / "params"), like)
@@ -265,8 +268,10 @@ def load_serving_package(package_dir: str, use_pallas: Optional[bool] = None):
         # model_config.json already carries unet.act_quant=True, so `model`
         # above is the int8-compute model; ship the variables dict.
         scales = ckpt.load_params(str(out / "act_scales"))
+        # host numpy: ServingPipeline device_puts the whole tree once at
+        # init; per-leaf eager jnp.asarray would be one tunnel transfer each.
         params = {"params": params,
-                  "act_scales": jax.tree_util.tree_map(jnp.asarray, scales)}
+                  "act_scales": jax.tree_util.tree_map(np.asarray, scales)}
     return model, schedule, params, cfg
 
 

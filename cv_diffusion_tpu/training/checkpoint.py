@@ -134,6 +134,37 @@ def load_raw(path: str):
     return jax.tree_util.tree_map(np.asarray, restored)
 
 
+def load_inference_params(path: str, params_like=None, *,
+                          use_ema: bool = False, verbose: bool = True):
+    """Load a params tree for inference from EITHER artifact layout — the
+    single implementation behind every CLI (inference/evaluate/export/
+    distill previously each hand-rolled and drifted):
+
+    * a serving package or ``save_params`` dir (``params/`` subdir or a
+      params-only tree): loads params; warns if ``use_ema`` was requested
+      (packages store the already-selected weights);
+    * a full training checkpoint: loads ``ema_params`` when ``use_ema``
+      and present, else ``params``.
+    """
+    path = os.path.abspath(path)
+    params_dir = path
+    if os.path.isdir(os.path.join(path, "params")):
+        params_dir = os.path.join(path, "params")
+    try:
+        params = load_params(params_dir, params_like)
+        if use_ema and verbose:
+            print("Warning: --use_ema ignored (params-only artifact; "
+                  "packages store the already-selected weights)")
+        return params
+    except Exception:
+        raw = load_raw(params_dir)
+        key = "ema_params" if (use_ema and "ema_params" in raw) else "params"
+        if use_ema and "ema_params" not in raw and verbose:
+            print("Warning: --use_ema requested but checkpoint has no "
+                  "ema_params; using raw params")
+        return raw[key]
+
+
 def load_model_config(path: str) -> Optional[dict]:
     p = os.path.join(os.path.abspath(path), "model_config.json")
     if os.path.exists(p):

@@ -126,7 +126,11 @@ def main():
 
     # 30-FPS real-time verdict on batch-1 latency
     # (``scripts/benchmark.py:170-189``).
-    b1 = next((r for r in results if r["batch"] == 1), results[0])
+    b1 = next((r for r in results if r["batch"] == 1), None)
+    if b1 is None:
+        print("\n(no batch-1 row in --batch_sizes; skipping the real-time "
+              "verdict — it is a single-image latency budget)")
+        return
     budget_ms = 1000.0 / REALTIME_FPS
     verdict = "REAL-TIME ✓" if b1["mean_ms"] <= budget_ms else "not real-time"
     print(f"\nBatch-1 end-to-end: {b1['mean_ms']:.1f} ms vs "

@@ -66,18 +66,8 @@ def main():
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), like)["params"]
-    import os
-    params_dir = args.teacher
-    if os.path.isdir(os.path.join(args.teacher, "params")):
-        params_dir = os.path.join(args.teacher, "params")
-    try:
-        teacher = ckpt.load_params(params_dir, like)
-    except Exception:
-        raw = ckpt.load_raw(params_dir)
-        if args.teacher_ema and "ema_params" in raw:
-            teacher = raw["ema_params"]
-        else:
-            teacher = raw["params"]
+    teacher = ckpt.load_inference_params(args.teacher, like,
+                                         use_ema=args.teacher_ema)
 
     train_loader, val_loader = create_dataloaders(
         args.data_dir, args.val_dir, batch_size=args.batch_size,

@@ -48,16 +48,8 @@ def main():
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), like)["params"]
-    import os
-    params_dir = args.model
-    if os.path.isdir(os.path.join(args.model, "params")):
-        params_dir = os.path.join(args.model, "params")
-    try:
-        params = ckpt.load_params(params_dir, like)
-    except Exception:
-        raw = ckpt.load_raw(params_dir)
-        key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
-        params = raw[key]
+    params = ckpt.load_inference_params(args.model, like,
+                                        use_ema=args.use_ema)
 
     # commit weights to device once — host-numpy params would re-transfer
     # the whole tree every batch (see ServingPipeline.__init__)
@@ -73,31 +65,60 @@ def main():
                                           num_inference_steps=args.num_steps),
                   compiler_options=tpu_compiler_options())
 
+    def per_image_metrics(out, target):
+        # clip to the displayable range before metrics (what any consumer
+        # of the image sees; sampler output can overshoot [-1, 1])
+        pred = jnp.clip(denormalize_image(out.astype(jnp.float32)), 0.0, 1.0)
+        tgt = denormalize_image(target.astype(jnp.float32))
+        one = jax.vmap(lambda p, t: (psnr(p[None], t[None]),
+                                     ssim(p[None], t[None]),
+                                     mae(p[None], t[None])))
+        m = one(pred, tgt)
+        # uint8 fetch: 1 B/px through the tunnel instead of f32's 4
+        pred_u8 = jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
+        return m, pred_u8
+
+    # One jitted call per batch (sampler + metrics). On the axon TPU backend
+    # every eager op — even a per-image slice — is a separate remote compile,
+    # so the whole loop body must live in two compiled programs.
+    metrics_fn = jax.jit(per_image_metrics,
+                         compiler_options=tpu_compiler_options())
+
     psnrs, ssims, maes = [], [], []
     rng = jax.random.key(args.seed)
     idx = 0
     for batch in loader:
         rng, k = jax.random.split(rng)
-        low = jnp.asarray(batch["low_light"])
-        out = enh(params, k, low)
-        # clip to the displayable range before metrics (what any consumer
-        # of the image sees; sampler output can overshoot [-1, 1])
-        pred = jnp.clip(denormalize_image(out.astype(jnp.float32)), 0.0, 1.0)
-        target = denormalize_image(jnp.asarray(batch["normal_light"]))
-        # per-image metrics so ragged final batches weight correctly
-        for i in range(pred.shape[0]):
-            psnrs.append(float(psnr(pred[i:i+1], target[i:i+1])))
-            ssims.append(float(ssim(pred[i:i+1], target[i:i+1])))
-            maes.append(float(mae(pred[i:i+1], target[i:i+1])))
+        low_np = np.asarray(batch["low_light"])
+        tgt_np = np.asarray(batch["normal_light"])
+        # Pad a ragged final batch to the compiled batch size ON THE HOST —
+        # the jitted sampler is shape-specialized and a (n<batch) straggler
+        # would recompile the whole 4-step graph (minutes on TPU).
+        n_valid = low_np.shape[0]
+        if n_valid < args.batch_size:
+            pad = np.zeros((args.batch_size - n_valid,) + low_np.shape[1:],
+                           low_np.dtype)
+            low_np = np.concatenate([low_np, pad])
+            tgt_np = np.concatenate([tgt_np, pad.astype(tgt_np.dtype)])
+        out = enh(params, k, jnp.asarray(low_np))
+        (m_psnr, m_ssim, m_mae), pred_u8 = metrics_fn(out, jnp.asarray(tgt_np))
+        m_psnr, m_ssim, m_mae = (np.asarray(m_psnr)[:n_valid],
+                                 np.asarray(m_ssim)[:n_valid],
+                                 np.asarray(m_mae)[:n_valid])
+        # fetch the full (padded) uint8 batch, slice host-side: a device
+        # [:n] slice would be another remote compile per distinct n
+        pred_u8 = np.asarray(pred_u8)[:n_valid] if args.save_outputs else None
+        for i in range(n_valid):
+            psnrs.append(float(m_psnr[i]))
+            ssims.append(float(m_ssim[i]))
+            maes.append(float(m_mae[i]))
             print(f"{batch['filenames'][i]}: psnr={psnrs[-1]:.2f} dB  "
                   f"ssim={ssims[-1]:.4f}")
             if args.save_outputs:
                 from PIL import Image
                 outdir = Path(args.save_outputs)
                 outdir.mkdir(parents=True, exist_ok=True)
-                img = np.clip(np.asarray(pred[i]) * 255, 0, 255).astype(
-                    np.uint8)
-                Image.fromarray(img).save(outdir / batch["filenames"][i])
+                Image.fromarray(pred_u8[i]).save(outdir / batch["filenames"][i])
             idx += 1
 
     print(f"\n{idx} images | PSNR {np.mean(psnrs):.2f} ± {np.std(psnrs):.2f} dB"

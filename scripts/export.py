@@ -48,16 +48,8 @@ def main():
     like = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), like)["params"]
 
-    import os
-    params_dir = args.checkpoint
-    if os.path.isdir(os.path.join(args.checkpoint, "params")):
-        params_dir = os.path.join(args.checkpoint, "params")
-    try:
-        params = ckpt.load_params(params_dir, like)
-    except Exception:
-        raw = ckpt.load_raw(params_dir)
-        key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
-        params = raw[key]
+    params = ckpt.load_inference_params(args.checkpoint, like,
+                                        use_ema=args.use_ema)
 
     files = create_serving_package(
         args.output, model, schedule, params,

@@ -21,13 +21,24 @@ from PIL import Image
 def load_pipeline(args):
     from cv_diffusion_tpu.export import ServingPipeline, ServingConfig
 
-    cfg = ServingConfig(image_size=args.image_size,
-                        num_inference_steps=args.num_steps,
+    if args.format == "package":
+        # The package records its own image size and step count
+        # (model_config.json); CLI flags override only when passed.
+        from cv_diffusion_tpu.export.serving import load_serving_package
+
+        model, schedule, params, meta = load_serving_package(args.model)
+        cfg = ServingConfig(
+            image_size=args.image_size or model.config.image_size,
+            num_inference_steps=(args.num_steps or
+                                 meta.get("num_inference_steps", 4)),
+            keep_aspect=not args.no_pad, seed=args.seed,
+            batch_size=args.batch_size)
+        return ServingPipeline(model, schedule, params, cfg)
+
+    cfg = ServingConfig(image_size=args.image_size or 256,
+                        num_inference_steps=args.num_steps or 4,
                         keep_aspect=not args.no_pad, seed=args.seed,
                         batch_size=args.batch_size)
-    if args.format == "package":
-        return ServingPipeline.from_package(args.model, cfg)
-
     # training checkpoint → pipeline
     import jax
     from cv_diffusion_tpu.config import diffusion_config
@@ -35,26 +46,16 @@ def load_pipeline(args):
     from cv_diffusion_tpu.training import checkpoint as ckpt
     from cv_diffusion_tpu.export.serving import ServingPipeline as SP
 
-    model_cfg = diffusion_config(args.variant, image_size=args.image_size,
-                                 num_inference_steps=args.num_steps,
+    model_cfg = diffusion_config(args.variant,
+                                 image_size=cfg.image_size,
+                                 num_inference_steps=cfg.num_inference_steps,
                                  dtype=args.dtype)
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), like)["params"]
-    import os
-    params_dir = args.model
-    if os.path.isdir(os.path.join(args.model, "params")):
-        params_dir = os.path.join(args.model, "params")
-    try:
-        params = ckpt.load_params(params_dir, like)
-        if args.use_ema:
-            print("Warning: --use_ema ignored (params-only checkpoint)")
-    except Exception:
-        # full training checkpoint: params or EMA shadow
-        raw = ckpt.load_raw(params_dir)
-        key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
-        params = raw[key]
+    params = ckpt.load_inference_params(args.model, like,
+                                        use_ema=args.use_ema)
     return SP(model, schedule, params, cfg)
 
 
@@ -79,8 +80,10 @@ def main():
     p.add_argument("--format", type=str, default="checkpoint",
                    choices=["checkpoint", "package"])
     p.add_argument("--variant", type=str, default="small")
-    p.add_argument("--image_size", type=int, default=256)
-    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="default: the package's recorded size, else 256")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="default: the package's recorded steps, else 4")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--no_pad", action="store_true",
                    help="Plain resize instead of aspect-preserving pad")

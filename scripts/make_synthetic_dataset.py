@@ -134,7 +134,11 @@ def main():
 
     out = Path(args.out)
     write_split(out / "train", args.train, args.size, args.seed)
-    write_split(out / "val", args.val, args.size, args.seed + 77)
+    # Val is procedural-only: the two bundled sklearn photos also feed the
+    # train split, so photo crops in val would leak training content and
+    # overstate generalization.
+    write_split(out / "val", args.val, args.size, args.seed + 77,
+                photo_fraction=0.0)
     print(f"Wrote {args.train} train + {args.val} val pairs "
           f"({args.size}x{args.size}) under {out}")
 

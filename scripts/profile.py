@@ -80,21 +80,15 @@ def build_train_step(args):
 
 
 def cost_analysis(fn, fn_args):
-    """flops / bytes for the compiled program (None if not exposed)."""
-    import jax
-    try:
-        compiled = fn.lower(*fn_args).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0] if cost else None
-        if not cost:
-            return None
-        return {"flops": float(cost.get("flops", -1)),
-                "bytes_accessed": float(cost.get("bytes accessed", -1))}
-    except Exception as e:  # backend-dependent surface
-        print(f"(cost analysis unavailable: {type(e).__name__})",
-              file=sys.stderr)
-        return None
+    """flops / bytes for the compiled program (None if not exposed);
+    thin wrapper over utils.profiling.flops_estimate (jit is idempotent,
+    so passing the already-jitted fn is fine)."""
+    from cv_diffusion_tpu.utils.profiling import flops_estimate
+
+    cost = flops_estimate(fn, *fn_args)
+    if cost is None:
+        print("(cost analysis unavailable on this backend)", file=sys.stderr)
+    return cost
 
 
 def main():

@@ -14,8 +14,83 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from cv_diffusion_tpu.config import TrainConfig, load_yaml
 
+# CLI flag → TrainConfig field; the value is computed from args in
+# resolve_config (store_true flags invert to their config sense there).
+_FLAG_TO_FIELD = {
+    "variant": "unet_variant",
+    "image_size": "image_size",
+    "num_steps": "num_inference_steps",
+    "epochs": "epochs",
+    "batch_size": "batch_size",
+    "lr": "learning_rate",
+    "weight_decay": "weight_decay",
+    "scheduler": "scheduler_type",
+    "no_amp": "use_amp",
+    "no_ema": "use_ema",
+    "ema_decay": "ema_decay",
+    "no_warmup": "faithful_no_warmup",
+    "loss": "loss_type",
+    "save_interval": "save_interval",
+    "sample_interval": "sample_interval",
+    "output_dir": "output_dir",
+    "checkpoint_dir": "checkpoint_dir",
+    "wandb": "use_wandb",
+    "wandb_project": "wandb_project",
+    "resume": "resume_from",
+    "seed": "seed",
+}
 
-def main():
+
+def resolve_config(args, argv):
+    """(TrainConfig, data_dir, val_dir, use_synthetic) from parsed args.
+
+    With --config, the YAML is the base and only flags EXPLICITLY present in
+    ``argv`` override it (as the --config help text promises); flags left at
+    their argparse defaults do not clobber YAML values.
+    """
+    import dataclasses
+
+    def flag_value(flag):
+        # --no_amp / --no_ema are disable-switches: invert to the config
+        # sense (use_amp/use_ema). --no_warmup maps directly to
+        # faithful_no_warmup.
+        if flag == "no_amp":
+            return not args.no_amp
+        if flag == "no_ema":
+            return not args.no_ema
+        return getattr(args, flag)
+
+    if args.config:
+        exp = load_yaml(args.config)
+        config = exp.train
+        data_dir = exp.data.train_root
+        val_dir = exp.data.val_root
+        use_synth = exp.data.use_synthetic
+        passed = {a.lstrip("-").split("=")[0] for a in argv
+                  if a.startswith("--")}
+        overrides = {field: flag_value(flag)
+                     for flag, field in _FLAG_TO_FIELD.items()
+                     if flag in passed}
+        if overrides:
+            config = dataclasses.replace(config, **overrides)
+        if "data_dir" in passed:
+            data_dir = args.data_dir
+        if "val_dir" in passed:
+            val_dir = (args.val_dir
+                       if args.val_dir not in ("", "none", None) else None)
+        if "use_synthetic" in passed:
+            use_synth = args.use_synthetic
+        return config, data_dir, val_dir, use_synth
+
+    config = TrainConfig(
+        **{field: flag_value(flag) for flag, field in _FLAG_TO_FIELD.items()})
+    data_dir, use_synth = args.data_dir, args.use_synthetic
+    # empty / "none" disables validation
+    val_dir = args.val_dir if args.val_dir not in ("", "none", None) else None
+    return config, data_dir, val_dir, use_synth
+
+
+def build_parser():
     p = argparse.ArgumentParser(description="Train low-light diffusion (TPU)")
     # Data
     p.add_argument("--data_dir", type=str, default="data/our485",
@@ -62,41 +137,13 @@ def main():
     # Config file (actually parsed, unlike the reference)
     p.add_argument("--config", type=str, default=None,
                    help="YAML config; CLI flags override")
-    args = p.parse_args()
+    return p
 
-    if args.config:
-        exp = load_yaml(args.config)
-        config = exp.train
-        data_dir = exp.data.train_root
-        val_dir = exp.data.val_root
-        use_synth = exp.data.use_synthetic
-    else:
-        config = TrainConfig(
-            unet_variant=args.variant,
-            image_size=args.image_size,
-            num_inference_steps=args.num_steps,
-            epochs=args.epochs,
-            batch_size=args.batch_size,
-            learning_rate=args.lr,
-            weight_decay=args.weight_decay,
-            scheduler_type=args.scheduler,
-            use_amp=not args.no_amp,
-            use_ema=not args.no_ema,
-            ema_decay=args.ema_decay,
-            faithful_no_warmup=args.no_warmup,
-            loss_type=args.loss,
-            save_interval=args.save_interval,
-            sample_interval=args.sample_interval,
-            output_dir=args.output_dir,
-            checkpoint_dir=args.checkpoint_dir,
-            use_wandb=args.wandb,
-            wandb_project=args.wandb_project,
-            resume_from=args.resume,
-            seed=args.seed,
-        )
-        data_dir, use_synth = args.data_dir, args.use_synthetic
-        # empty / "none" disables validation
-        val_dir = args.val_dir if args.val_dir not in ("", "none", None) else None
+
+def main():
+    args = build_parser().parse_args()
+
+    config, data_dir, val_dir, use_synth = resolve_config(args, sys.argv[1:])
 
     if args.distributed:
         from cv_diffusion_tpu.parallel import distributed_init

@@ -80,6 +80,73 @@ def test_cli_help(script):
     assert "usage" in out.stdout.lower()
 
 
+def _train_cli():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "train_cli", REPO / "scripts" / "train.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_train_cli_overrides_yaml_only_when_passed(tmp_path):
+    """--config loads the YAML; only flags explicitly on the command line
+    override it (the --config help text's contract). Flags at their argparse
+    defaults must NOT clobber YAML values."""
+    from cv_diffusion_tpu.config import DataConfig, ExperimentConfig
+
+    mod = _train_cli()
+    cfg_path = str(tmp_path / "exp.yaml")
+    save_yaml(ExperimentConfig(
+        train=TrainConfig(unet_variant="tiny", epochs=7, learning_rate=3e-4,
+                          use_ema=True, image_size=64),
+        data=DataConfig(train_root="yaml_train", val_root="yaml_val",
+                        use_synthetic=True)), cfg_path)
+
+    # epochs passed explicitly (both syntaxes); everything else from YAML.
+    for argv in (["--config", cfg_path, "--epochs", "3"],
+                 ["--config", cfg_path, "--epochs=3"]):
+        args = mod.build_parser().parse_args(argv)
+        config, data_dir, val_dir, use_synth = mod.resolve_config(args, argv)
+        assert config.epochs == 3                      # CLI wins
+        assert config.unet_variant == "tiny"           # YAML kept
+        assert config.learning_rate == 3e-4            # not reset to 1e-4
+        assert config.image_size == 64                 # not reset to 256
+        assert (data_dir, val_dir, use_synth) == ("yaml_train", "yaml_val",
+                                                  True)
+
+    # Disable-switch flags invert into their config sense.
+    argv = ["--config", cfg_path, "--no_ema", "--no_amp"]
+    args = mod.build_parser().parse_args(argv)
+    config, *_ = mod.resolve_config(args, argv)
+    assert config.use_ema is False
+    assert config.use_amp is False
+
+    # Data-path flags override only when passed; "none" disables validation.
+    argv = ["--config", cfg_path, "--data_dir", "cli_train",
+            "--val_dir", "none"]
+    args = mod.build_parser().parse_args(argv)
+    _, data_dir, val_dir, use_synth = mod.resolve_config(args, argv)
+    assert data_dir == "cli_train"
+    assert val_dir is None
+    assert use_synth is True  # untouched
+
+
+def test_train_cli_no_config_uses_flags():
+    mod = _train_cli()
+    argv = ["--variant", "tiny", "--epochs", "2", "--no_warmup",
+            "--val_dir", ""]
+    args = mod.build_parser().parse_args(argv)
+    config, data_dir, val_dir, use_synth = mod.resolve_config(args, argv)
+    assert config.unet_variant == "tiny"
+    assert config.epochs == 2
+    assert config.faithful_no_warmup is True
+    assert config.use_amp is True and config.use_ema is True
+    assert data_dir == "data/our485"  # argparse default
+    assert val_dir is None
+    assert use_synth is False
+
+
 def test_tpu_compiler_options_cpu_gated():
     """TPU compile options must be None on CPU (CPU XLA rejects TPU flags)
     and a str->str dict otherwise (XLA env-schema typed)."""

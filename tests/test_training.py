@@ -224,6 +224,44 @@ def test_load_raw_restores_without_target(tiny_setup, tmp_path):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def _trees_equal(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_load_inference_params_all_layouts(tiny_setup, tmp_path):
+    """One loader behind every CLI: params-only dirs, package layouts
+    (params/ subdir), and full training checkpoints (params vs ema_params)."""
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    # step once so params and ema_params actually differ
+    step = make_train_step(model, schedule, cfg, donate=False)
+    state, _ = step(state, _batch(jax.random.key(1)))
+    like = jax.tree_util.tree_map(np.zeros_like, variables["params"])
+
+    # 1) params-only dir (save_params output)
+    p1 = str(tmp_path / "params_only")
+    checkpoint.save_params(p1, state.params)
+    _trees_equal(checkpoint.load_inference_params(p1, like), state.params)
+
+    # 2) package layout: the params tree lives under <dir>/params
+    p2 = str(tmp_path / "package" / "params")
+    checkpoint.save_params(p2, state.params)
+    _trees_equal(checkpoint.load_inference_params(str(tmp_path / "package"),
+                                                  like), state.params)
+
+    # 3) full training checkpoint: raw params vs the EMA shadow
+    p3 = str(tmp_path / "full_ckpt")
+    checkpoint.save_checkpoint(p3, state, epoch=1, best_val_loss=1.0,
+                               config_json=to_json(cfg))
+    _trees_equal(checkpoint.load_inference_params(p3, like, use_ema=False),
+                 state.params)
+    _trees_equal(checkpoint.load_inference_params(p3, like, use_ema=True),
+                 state.ema_params)
+
+
 def test_psnr_golden():
     a = jnp.zeros((1, 8, 8, 3))
     b = jnp.full((1, 8, 8, 3), 0.1)
