@@ -262,6 +262,24 @@ def test_load_inference_params_all_layouts(tiny_setup, tmp_path):
                  state.ema_params)
 
 
+def test_vmapped_metrics_match_per_image():
+    """scripts/evaluate.py computes per-image metrics as one vmapped jitted
+    program (per-image eager slicing is a remote compile per index on the
+    axon TPU backend); the vmapped values must equal the straightforward
+    per-image calls."""
+    k1, k2 = jax.random.split(jax.random.key(7))
+    pred = jax.random.uniform(k1, (3, 32, 32, 3))
+    tgt = jax.random.uniform(k2, (3, 32, 32, 3))
+    vm = jax.jit(jax.vmap(lambda p, t: (psnr(p[None], t[None]),
+                                        ssim(p[None], t[None]))))
+    v_psnr, v_ssim = vm(pred, tgt)
+    for i in range(3):
+        assert float(v_psnr[i]) == pytest.approx(
+            float(psnr(pred[i:i+1], tgt[i:i+1])), rel=1e-5)
+        assert float(v_ssim[i]) == pytest.approx(
+            float(ssim(pred[i:i+1], tgt[i:i+1])), rel=1e-4)
+
+
 def test_psnr_golden():
     a = jnp.zeros((1, 8, 8, 3))
     b = jnp.full((1, 8, 8, 3), 0.1)
