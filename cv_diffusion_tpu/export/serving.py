@@ -315,9 +315,23 @@ class ServingPipeline:
 
     @classmethod
     def from_package(cls, package_dir: str,
-                     config: Optional[ServingConfig] = None
-                     ) -> "ServingPipeline":
-        model, schedule, params, _ = load_serving_package(package_dir)
+                     config: Optional[ServingConfig] = None,
+                     **overrides) -> "ServingPipeline":
+        """Build a pipeline from a serving package.
+
+        Without an explicit ``config``, the ServingConfig defaults to the
+        package's own recorded image size and step count (model_config.json);
+        keyword ``overrides`` replace individual fields, and None overrides
+        are ignored (so CLIs can pass optional flags straight through).
+        """
+        model, schedule, params, meta = load_serving_package(package_dir)
+        if config is None:
+            fields = dict(
+                image_size=model.config.image_size,
+                num_inference_steps=meta.get("num_inference_steps", 4))
+            fields.update({k: v for k, v in overrides.items()
+                           if v is not None})
+            config = ServingConfig(**fields)
         return cls(model, schedule, params, config)
 
     def _next_key(self, seed: Optional[int]):

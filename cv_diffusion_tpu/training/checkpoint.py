@@ -156,8 +156,17 @@ def load_inference_params(path: str, params_like=None, *,
             print("Warning: --use_ema ignored (params-only artifact; "
                   "packages store the already-selected weights)")
         return params
-    except Exception:
-        raw = load_raw(params_dir)
+    except Exception as params_err:
+        # Maybe a full training checkpoint (whose tree is {step, params,
+        # opt_state, ...}, not a bare params tree). If it isn't that either,
+        # the FIRST failure is the real story (wrong --variant shapes,
+        # corrupt dir) — re-raise it, not the fallback's.
+        try:
+            raw = load_raw(params_dir)
+        except Exception:
+            raise params_err
+        if not (isinstance(raw, dict) and "params" in raw):
+            raise params_err
         key = "ema_params" if (use_ema and "ema_params" in raw) else "params"
         if use_ema and "ema_params" not in raw and verbose:
             print("Warning: --use_ema requested but checkpoint has no "

@@ -62,7 +62,11 @@ def flops_estimate(fn: Callable, *args) -> Optional[Dict[str, float]]:
     Returns None when the backend doesn't expose cost analysis.
     """
     try:
-        compiled = jax.jit(fn).lower(*args).compile()
+        # Keep an already-jitted fn as-is: re-wrapping in a fresh jax.jit
+        # would drop its compiler_options (e.g. the shipped 64M scoped-VMEM
+        # option) and analyze a different program than the one being timed.
+        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+        compiled = jitted.lower(*args).compile()
         cost = compiled.cost_analysis()
         if cost is None:
             return None

@@ -83,8 +83,13 @@ def benchmark_model(args):
 def main():
     p = argparse.ArgumentParser(description="Benchmark the TPU sampler")
     p.add_argument("--variant", type=str, default="small")
-    p.add_argument("--image_size", type=int, default=256)
-    p.add_argument("--num_steps", type=int, default=4)
+    # None defaults: with --model --format package, load_pipeline reads the
+    # package's recorded size/steps unless these are passed explicitly
+    # (a truthy default here would silently benchmark the wrong sampler).
+    p.add_argument("--image_size", type=int, default=None,
+                   help="default: 256, or the package's recorded size")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="default: 4, or the package's recorded steps")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--batch_sizes", type=int, nargs="+", default=[1, 8, 32])
     p.add_argument("--num_runs", type=int, default=10)
@@ -105,6 +110,10 @@ def main():
 
     if args.model:
         return benchmark_model(args)
+
+    # random-init variant path: apply the plain defaults
+    args.image_size = args.image_size or 256
+    args.num_steps = args.num_steps or 4
 
     print(f"Benchmarking {args.variant} @ {args.image_size}px, "
           f"{args.num_steps} LCM steps, {args.dtype}")

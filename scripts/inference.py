@@ -23,17 +23,14 @@ def load_pipeline(args):
 
     if args.format == "package":
         # The package records its own image size and step count
-        # (model_config.json); CLI flags override only when passed.
-        from cv_diffusion_tpu.export.serving import load_serving_package
-
-        model, schedule, params, meta = load_serving_package(args.model)
-        cfg = ServingConfig(
-            image_size=args.image_size or model.config.image_size,
-            num_inference_steps=(args.num_steps or
-                                 meta.get("num_inference_steps", 4)),
+        # (model_config.json); CLI flags override only when passed (None
+        # overrides are dropped by from_package).
+        return ServingPipeline.from_package(
+            args.model,
+            image_size=args.image_size,
+            num_inference_steps=args.num_steps,
             keep_aspect=not args.no_pad, seed=args.seed,
             batch_size=args.batch_size)
-        return ServingPipeline(model, schedule, params, cfg)
 
     cfg = ServingConfig(image_size=args.image_size or 256,
                         num_inference_steps=args.num_steps or 4,

@@ -91,7 +91,11 @@ def resolve_config(args, argv):
 
 
 def build_parser():
-    p = argparse.ArgumentParser(description="Train low-light diffusion (TPU)")
+    # allow_abbrev=False: resolve_config detects explicitly-passed flags by
+    # matching argv tokens, so an abbreviation like --epoch would parse but
+    # silently fail to override the YAML.
+    p = argparse.ArgumentParser(description="Train low-light diffusion (TPU)",
+                                allow_abbrev=False)
     # Data
     p.add_argument("--data_dir", type=str, default="data/our485",
                    help="Training data directory (root/{low,high}/)")
