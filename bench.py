@@ -14,12 +14,30 @@ scanned XLA graph; batch size amortizes the small model over the MXU.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+
+def _backend_reachable(timeout: float = 600.0) -> bool:
+    """Probe backend init in a SUBPROCESS: when the TPU tunnel is down,
+    ``jax.devices()`` hangs forever with no error (observed outage), which
+    would hang the whole bench run. A bounded probe lets us emit an
+    explanatory JSON line instead. Normal init is <30 s; 600 s is margin."""
+    try:
+        r = subprocess.run([sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           timeout=timeout, env=os.environ.copy(),
+                           capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+import jax  # importing jax does NOT init the backend; jax.devices() does
 
 from cv_diffusion_tpu.config import diffusion_config
 from cv_diffusion_tpu.models.diffusion import create_model, enhance, init_model
@@ -49,6 +67,15 @@ def main():
                         "donated, production path) instead of the sampler; "
                         "default batch 32")
     args = p.parse_args()
+
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "small_4step_256px_enhance_throughput",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": "backend unreachable: jax.devices() did not return "
+                     "within 600s (TPU tunnel down); see BENCHMARKS.md for "
+                     "the last measured rows"}))
+        sys.exit(1)
 
     if args.sweep:
         return run_sweep(args)

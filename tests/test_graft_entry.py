@@ -38,3 +38,20 @@ def test_bench_help():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     assert "--batch" in out.stdout
+
+
+def test_bench_backend_probe(monkeypatch):
+    """bench.py guards against the observed tunnel-outage mode where
+    jax.devices() hangs forever: an unreachable backend must yield a JSON
+    error line, not a hang. The probe subprocess inherits the env, so in
+    THIS test env (JAX_PLATFORMS pinned to the TPU backend but no plugin on
+    the subprocess PYTHONPATH) it correctly reports unreachable; force CPU
+    for the reachable case."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", str(REPO / "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert mod._backend_reachable() is True  # CPU backend, instant
+    # a timeout too short for any interpreter start == simulated hang
+    assert mod._backend_reachable(timeout=0.01) is False
