@@ -200,6 +200,29 @@ def export_unet_state_dict(params: Dict[str, Any],
     return out
 
 
+def convert_condition_encoder_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """torch ``condition_encoder.*`` keys (the reference's add-mode
+    nn.Sequential conv/SiLU/conv, ``low_light_diffusion.py:108-113``) →
+    flax ``ConditionEncoder`` params (``models/diffusion.py``).
+
+    ``sd`` is the FULL model state_dict; raises when no condition_encoder
+    keys exist (i.e. a concat-mode checkpoint).
+    """
+    ce = {k[len("condition_encoder."):]:
+          (v.detach().cpu().numpy() if hasattr(v, "detach") else
+           np.asarray(v))
+          for k, v in sd.items() if k.startswith("condition_encoder.")}
+    if not ce:
+        raise ValueError("state_dict has no condition_encoder.* keys "
+                         "(concat-mode checkpoint?)")
+    return {
+        "conv1": {"kernel": _conv(ce["0.weight"]),
+                  "bias": np.asarray(ce["0.bias"])},
+        "conv2": {"kernel": _conv(ce["2.weight"]),
+                  "bias": np.asarray(ce["2.bias"])},
+    }
+
+
 def convert_unet_state_dict(sd: Dict[str, Any],
                             config: UNetConfig) -> Dict[str, Any]:
     """torch ``EfficientUNet.state_dict()`` → flax params dict.

@@ -52,25 +52,12 @@ def main():
     model, schedule = create_model(cfg)
     params = {"unet": convert_unet_state_dict(unet_sd, cfg.unet)}
     if in_ch == 3:
-        # add-mode checkpoints carry the condition_encoder
-        # (nn.Sequential conv/SiLU/conv, low_light_diffusion.py:108-113) —
-        # without it the flax model fails at apply time.
-        import numpy as np
+        # add-mode checkpoints carry the condition_encoder — without it the
+        # flax model fails at apply time.
+        from cv_diffusion_tpu.utils.torch_compat import (
+            convert_condition_encoder_state_dict)
 
-        ce = {k[len("condition_encoder."):]: v.detach().cpu().numpy()
-              for k, v in sd.items() if k.startswith("condition_encoder.")}
-        if not ce:
-            raise ValueError(
-                "add-mode checkpoint (in_channels=3) without "
-                "condition_encoder.* keys — cannot migrate")
-
-        def hwio(w):  # torch [O, I, kH, kW] → flax [kH, kW, I, O]
-            return np.transpose(w, (2, 3, 1, 0))
-
-        params["condition_encoder"] = {
-            "conv1": {"kernel": hwio(ce["0.weight"]), "bias": ce["0.bias"]},
-            "conv2": {"kernel": hwio(ce["2.weight"]), "bias": ce["2.bias"]},
-        }
+        params["condition_encoder"] = convert_condition_encoder_state_dict(sd)
     params = jax.tree_util.tree_map(jax.numpy.asarray, params)
 
     files = create_serving_package(out_dir, model, schedule, params,

@@ -218,3 +218,68 @@ def test_full_sampler_parity_with_injected_noise(parity_pair):
     np.testing.assert_allclose(ours_nchw, ref_out, atol=5e-3)
     rel = np.abs(ours_nchw - ref_out).max()
     assert rel < 5e-3
+
+
+def test_condition_encoder_parity():
+    """Add-mode migration: the reference's condition_encoder (nn.Sequential
+    conv/SiLU/conv, ``low_light_diffusion.py:108-113``) converted via
+    ``convert_condition_encoder_state_dict`` must match the flax
+    ``ConditionEncoder`` forward — this is the extra piece (beyond the UNet)
+    an add-mode checkpoint needs to migrate (examples/migrate_from_torch.py).
+    """
+    import importlib.util
+    import sys
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    # stub diffusers (pulled in via the reference's lcm_scheduler import)
+    if "diffusers" not in sys.modules:
+        d = types.ModuleType("diffusers")
+        cu = types.ModuleType("diffusers.configuration_utils")
+
+        class SchedulerMixin:
+            pass
+
+        class ConfigMixin:
+            pass
+
+        def register_to_config(f):
+            return f
+
+        d.SchedulerMixin = SchedulerMixin
+        cu.ConfigMixin = ConfigMixin
+        cu.register_to_config = register_to_config
+        sys.modules["diffusers"] = d
+        sys.modules["diffusers.configuration_utils"] = cu
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from models.low_light_diffusion import LowLightDiffusion as RefLLD
+    finally:
+        sys.path.remove("/root/reference/src")
+
+    from cv_diffusion_tpu.models.diffusion import ConditionEncoder
+    from cv_diffusion_tpu.utils.torch_compat import (
+        convert_condition_encoder_state_dict)
+
+    torch.manual_seed(3)
+    ref = RefLLD(unet_variant="small", image_size=64, condition_mode="add")
+    ref.eval()
+
+    params = convert_condition_encoder_state_dict(ref.state_dict())
+    x = np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        t_out = ref.condition_encoder(
+            torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    j_out = ConditionEncoder().apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-5)
+
+    # concat-mode state_dicts (no condition_encoder) must be rejected
+    with pytest.raises(ValueError, match="condition_encoder"):
+        convert_condition_encoder_state_dict(
+            {"unet.init_conv.weight": np.zeros((1,))})
