@@ -75,14 +75,17 @@ class LowLightDataset:
                 f"Dataset root directory not found: {self.root}\n"
                 f"Expected structure: {self.root}/{{{low_dir},{high_dir}}}/*.png")
 
+        # LOL directory-name probing (``dataset.py:86-104``) — each side
+        # probes independently (root/{low,normal}/ must work even though
+        # low/ needs no probing).
         low_path = self.root / low_dir
         high_path = self.root / high_dir
         if not low_path.exists():
-            # LOL directory-name probing (``dataset.py:86-104``).
             for alt in (low_dir, "low", "lowlight", "dark"):
                 if (self.root / alt).exists():
                     low_path = self.root / alt
                     break
+        if not high_path.exists():
             for alt in (high_dir, "high", "normal", "bright"):
                 if (self.root / alt).exists():
                     high_path = self.root / alt
@@ -242,6 +245,8 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
     ``True`` requires the library.  ``prefetch`` > 0 wraps the loaders so the
     next batch is assembled while the device runs the current step.
     """
+    import inspect
+
     from .native import (NativeDataLoader, NativeSyntheticDataLoader,
                          native_available)
     from .prefetch import PrefetchLoader
@@ -252,11 +257,47 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
             "native loader requested but libcvdm_data.so is not built "
             "(make -C native)")
 
+    # The two dataset constructors accept disjoint kwargs (e.g. gamma_range
+    # vs low_dir); route each kwarg to the constructor(s) that take it, and
+    # reject typos that neither accepts.
+    def _kwargs_for(cls):
+        accepted = inspect.signature(cls.__init__).parameters
+        return {k: v for k, v in dataset_kwargs.items() if k in accepted}
+
+    _known = (set(inspect.signature(LowLightDataset.__init__).parameters) |
+              set(inspect.signature(
+                  SyntheticLowLightDataset.__init__).parameters))
+    _unknown = set(dataset_kwargs) - _known
+    if _unknown:
+        raise TypeError(f"create_dataloaders: unknown dataset kwargs "
+                        f"{sorted(_unknown)}")
+
+    # The C++ pipeline decodes PNG/JPEG only and always pairs by index;
+    # fall back to Python per-loader for .bmp files or unpaired sampling
+    # (raise when the caller explicitly required native).
+    def _native_for(paths, paired_ok=True):
+        reason = None
+        if not paired_ok:
+            reason = "paired=False (random high-image pairing)"
+        elif not all(Path(p).suffix.lower() in (".png", ".jpg", ".jpeg")
+                     for p in paths):
+            reason = "non-PNG/JPEG files present"
+        if reason is None:
+            return use_native
+        if native:  # explicitly required
+            raise RuntimeError(f"native loader requested but unsupported "
+                               f"here: {reason}")
+        if use_native:
+            print(f"Note: using the Python loader ({reason})")
+        return False
+
     if use_synthetic:
         # Python dataset used for file discovery (and as fallback).
         train_ds = SyntheticLowLightDataset(train_root, image_size=image_size,
-                                            seed=seed, **dataset_kwargs)
-        if use_native:
+                                            seed=seed,
+                                            **_kwargs_for(
+                                                SyntheticLowLightDataset))
+        if _native_for(train_ds.images):
             train_loader = NativeSyntheticDataLoader(
                 [str(p) for p in train_ds.images], image_size, batch_size,
                 shuffle=True, drop_last=True,
@@ -269,8 +310,9 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
     else:
         train_ds = LowLightDataset(train_root, image_size=image_size,
                                    augment_data=True, seed=seed,
-                                   **dataset_kwargs)
-        if use_native:
+                                   **_kwargs_for(LowLightDataset))
+        if _native_for(train_ds.low_images + train_ds.high_images,
+                       paired_ok=dataset_kwargs.get("paired", True)):
             train_loader = NativeDataLoader(
                 [str(p) for p in train_ds.low_images],
                 [str(p) for p in train_ds.high_images],
@@ -284,8 +326,9 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
     if val_root is not None:
         val_ds = LowLightDataset(val_root, image_size=image_size,
                                  augment_data=False, seed=seed,
-                                 **dataset_kwargs)
-        if use_native:
+                                 **_kwargs_for(LowLightDataset))
+        if _native_for(val_ds.low_images + val_ds.high_images,
+                       paired_ok=dataset_kwargs.get("paired", True)):
             val_loader = NativeDataLoader(
                 [str(p) for p in val_ds.low_images],
                 [str(p) for p in val_ds.high_images],

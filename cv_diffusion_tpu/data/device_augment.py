@@ -141,6 +141,9 @@ def synthetic_low_light(rng: jax.Array, normal: jnp.ndarray,
     # 8-bit quantization baked into the degraded input, matching the host
     # (augment.py: *255→uint8→normalize) and C++ pipelines — a model must
     # see the same input distribution regardless of which loader fed it.
-    noisy = jnp.round(noisy * 255.0) / 255.0
+    # floor, not round: the host astype(uint8) and the C++ static_cast both
+    # TRUNCATE, and rounding here would shift device-fed inputs brighter by
+    # ~0.5/255 on average.
+    noisy = jnp.floor(noisy * 255.0) / 255.0
     # clip: XLA may fuse /255*2 into one inexact multiply (255→1.0000001)
     return jnp.clip(noisy * 2.0 - 1.0, -1.0, 1.0)

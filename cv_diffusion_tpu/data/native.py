@@ -17,17 +17,23 @@ from typing import Dict, Iterator, List, Tuple
 import numpy as np
 
 _LIB = None
-_LIB_PATHS = [
-    Path(__file__).resolve().parent.parent.parent / "native" / "libcvdm_data.so",
-    Path(os.environ.get("CVDM_NATIVE_LIB", "")),
-]
+
+
+def _lib_paths():
+    """CVDM_NATIVE_LIB (read at call time, so it can be set after import)
+    takes priority over the repo's default build."""
+    return [
+        Path(os.environ.get("CVDM_NATIVE_LIB", "")),
+        Path(__file__).resolve().parent.parent.parent / "native"
+        / "libcvdm_data.so",
+    ]
 
 
 def _load_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    for p in _LIB_PATHS:
+    for p in _lib_paths():
         if p and p.is_file():
             lib = ctypes.CDLL(str(p))
             lib.cvdm_version.restype = ctypes.c_int
@@ -49,6 +55,14 @@ def _load_lib():
                 ctypes.c_float, ctypes.c_float, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_uint8)]
+            # cvdm_rotate_u8 added after the first shipped lib build; keep
+            # loading older libraries that don't export it.
+            if hasattr(lib, "cvdm_rotate_u8"):
+                lib.cvdm_rotate_u8.restype = ctypes.c_int
+                lib.cvdm_rotate_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_double,
+                    ctypes.POINTER(ctypes.c_uint8)]
             _LIB = lib
             return lib
     return None
@@ -88,6 +102,24 @@ def decode_image(path: str) -> np.ndarray:
     return buf[:h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
 
 
+def rotate_u8(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Native center rotation (bilinear, reflect-101) — exported for the
+    geometry-parity test against ``augment.rotate`` (cv2.warpAffine)."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "cvdm_rotate_u8"):
+        raise RuntimeError("native library (with cvdm_rotate_u8) not built")
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    dst = np.empty_like(img)
+    rc = lib.cvdm_rotate_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        float(angle_deg),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError(f"native rotate failed (rc={rc})")
+    return dst
+
+
 def load_pair_batch(low_paths: List[str], high_paths: List[str], size: int,
                     seed: int, augment: bool, num_threads: int = 0
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -99,7 +131,11 @@ def load_pair_batch(low_paths: List[str], high_paths: List[str], size: int,
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
     n = len(low_paths)
-    assert len(high_paths) == n
+    if len(high_paths) != n:
+        # hard error, not assert: under python -O a mismatch would read past
+        # the C array and segfault
+        raise ValueError(f"low/high path count mismatch: {n} vs "
+                         f"{len(high_paths)}")
     if num_threads <= 0:
         num_threads = min(n, os.cpu_count() or 1)
     out_low = np.empty((n, size, size, 3), dtype=np.float32)
@@ -138,7 +174,55 @@ def load_synth_batch(paths: List[str], size: int, seed: int,
     return out_low, out_high, failed
 
 
-class NativeDataLoader:
+class _NativeEpochLoader:
+    """Shared epoch scaffolding for both native loaders: per-epoch shuffle
+    via ``dataset.epoch_batches``, a decorrelated per-batch native seed, and
+    the failed-mask error contract. Subclasses provide the item list
+    (``_items``) and the batch load (``_load_batch``)."""
+
+    def __init__(self, batch_size: int, shuffle: bool, drop_last: bool,
+                 seed: int, num_threads: int):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
+
+    def _items(self) -> List[str]:
+        raise NotImplementedError
+
+    def _load_batch(self, idxs, seed: int):
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        from .dataset import num_batches
+
+        return num_batches(len(self._items()), self.batch_size,
+                           self.drop_last)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from .dataset import epoch_batches
+
+        self._epoch += 1
+        items = self._items()
+        for bi, idxs in enumerate(epoch_batches(
+                len(items), self.batch_size, self._rng,
+                self.shuffle, self.drop_last)):
+            low, high, failed = self._load_batch(
+                idxs, self._seed + self._epoch * 1_000_003 + bi)
+            if failed.any():
+                bad = [items[idxs[i]] for i in np.nonzero(failed)[0]]
+                raise IOError(f"native loader failed on: {bad}")
+            yield {
+                "low_light": low,
+                "normal_light": high,
+                "filenames": [os.path.basename(items[i]) for i in idxs],
+            }
+
+
+class NativeDataLoader(_NativeEpochLoader):
     """Drop-in DataLoader backed by the C++ pipeline.
 
     Same iteration contract as ``data.dataset.DataLoader`` (per-epoch shuffle,
@@ -149,18 +233,14 @@ class NativeDataLoader:
                  image_size: int, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, augment: bool = True,
                  seed: int = 0, num_threads: int = 0):
-        assert len(low_paths) == len(high_paths)
+        if len(low_paths) != len(high_paths):
+            raise ValueError(f"low/high path count mismatch: "
+                             f"{len(low_paths)} vs {len(high_paths)}")
+        super().__init__(batch_size, shuffle, drop_last, seed, num_threads)
         self.low_paths = [str(p) for p in low_paths]
         self.high_paths = [str(p) for p in high_paths]
         self.image_size = image_size
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
         self.augment = augment
-        self.num_threads = num_threads
-        self._rng = np.random.default_rng(seed)
-        self._epoch = 0
-        self._seed = seed
 
     @classmethod
     def from_dataset_dir(cls, root: str, image_size: int, batch_size: int,
@@ -174,37 +254,18 @@ class NativeDataLoader:
                    [str(p) for p in ds.high_images],
                    image_size, batch_size, **kwargs)
 
-    def __len__(self) -> int:
-        from .dataset import num_batches
+    def _items(self) -> List[str]:
+        return self.low_paths
 
-        return num_batches(len(self.low_paths), self.batch_size,
-                           self.drop_last)
-
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        from .dataset import epoch_batches
-
-        self._epoch += 1
-        for bi, idxs in enumerate(epoch_batches(
-                len(self.low_paths), self.batch_size, self._rng,
-                self.shuffle, self.drop_last)):
-            low, high, failed = load_pair_batch(
-                [self.low_paths[i] for i in idxs],
-                [self.high_paths[i] for i in idxs],
-                self.image_size,
-                seed=self._seed + self._epoch * 1_000_003 + bi,
-                augment=self.augment, num_threads=self.num_threads)
-            if failed.any():
-                bad = [self.low_paths[idxs[i]] for i in np.nonzero(failed)[0]]
-                raise IOError(f"native loader failed on: {bad}")
-            yield {
-                "low_light": low,
-                "normal_light": high,
-                "filenames": [os.path.basename(self.low_paths[i])
-                              for i in idxs],
-            }
+    def _load_batch(self, idxs, seed: int):
+        return load_pair_batch(
+            [self.low_paths[i] for i in idxs],
+            [self.high_paths[i] for i in idxs],
+            self.image_size, seed=seed, augment=self.augment,
+            num_threads=self.num_threads)
 
 
-class NativeSyntheticDataLoader:
+class NativeSyntheticDataLoader(_NativeEpochLoader):
     """Synthetic-degradation loader backed by ``cvdm_load_synth_batch``.
 
     Native counterpart of ``SyntheticLowLightDataset`` + ``DataLoader``:
@@ -215,41 +276,18 @@ class NativeSyntheticDataLoader:
                  shuffle: bool = False, drop_last: bool = False,
                  gamma_range=(2.0, 5.0), noise_level_range=(0.01, 0.05),
                  seed: int = 0, num_threads: int = 0):
+        super().__init__(batch_size, shuffle, drop_last, seed, num_threads)
         self.paths = [str(p) for p in paths]
         self.image_size = image_size
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
         self.gamma_range = gamma_range
         self.noise_level_range = noise_level_range
-        self.num_threads = num_threads
-        self._rng = np.random.default_rng(seed)
-        self._seed = seed
-        self._epoch = 0
 
-    def __len__(self) -> int:
-        from .dataset import num_batches
+    def _items(self) -> List[str]:
+        return self.paths
 
-        return num_batches(len(self.paths), self.batch_size, self.drop_last)
-
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        from .dataset import epoch_batches
-
-        self._epoch += 1
-        for bi, idxs in enumerate(epoch_batches(
-                len(self.paths), self.batch_size, self._rng,
-                self.shuffle, self.drop_last)):
-            low, high, failed = load_synth_batch(
-                [self.paths[i] for i in idxs], self.image_size,
-                seed=self._seed + self._epoch * 1_000_003 + bi,
-                gamma_range=self.gamma_range,
-                noise_level_range=self.noise_level_range,
-                num_threads=self.num_threads)
-            if failed.any():
-                bad = [self.paths[idxs[i]] for i in np.nonzero(failed)[0]]
-                raise IOError(f"native loader failed on: {bad}")
-            yield {
-                "low_light": low,
-                "normal_light": high,
-                "filenames": [os.path.basename(self.paths[i]) for i in idxs],
-            }
+    def _load_batch(self, idxs, seed: int):
+        return load_synth_batch(
+            [self.paths[i] for i in idxs], self.image_size, seed=seed,
+            gamma_range=self.gamma_range,
+            noise_level_range=self.noise_level_range,
+            num_threads=self.num_threads)

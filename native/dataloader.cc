@@ -411,6 +411,17 @@ int cvdm_load_synth_batch(const char** paths, int n, int size, uint64_t seed,
   return nfail.load();
 }
 
+// Rotation exported on its own so Python tests can assert geometric parity
+// with the cv2.warpAffine path (same center/inverse-map/reflect-101
+// convention) — the batch entry points only expose it composed with random
+// crop/flip, which a cross-pipeline test cannot isolate.
+int cvdm_rotate_u8(const uint8_t* src, int h, int w, double angle_deg,
+                   uint8_t* dst) {
+  if (h <= 0 || w <= 0) return -1;
+  rotate_u8(src, h, w, angle_deg, dst);
+  return 0;
+}
+
 int cvdm_version() { return 1; }
 
 }  // extern "C"

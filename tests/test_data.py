@@ -253,3 +253,87 @@ def test_rotation_shape_preserved():
     img = rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)
     out = augment.rotate(img, 13.0)
     assert out.shape == img.shape
+
+
+def test_dirname_probing_high_only(tmp_path):
+    """root/{low,normal}/: the low dir needs no probing but the high dir
+    does — each side must probe independently."""
+    rng = np.random.default_rng(0)
+    for sub in ("low", "normal"):
+        (tmp_path / sub).mkdir()
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / sub / "a.png")
+    ds = LowLightDataset(str(tmp_path), image_size=32)
+    assert len(ds) == 1
+
+
+def test_create_dataloaders_routes_kwargs_per_dataset(flat_dir, lol_dir):
+    """Synthetic-train kwargs (gamma_range) and paired-val construction use
+    disjoint constructor signatures; each kwarg reaches only the class that
+    accepts it, and typos are rejected."""
+    train, val = create_dataloaders(
+        str(flat_dir), str(lol_dir), batch_size=2, image_size=32,
+        use_synthetic=True, gamma_range=(2.0, 3.0), native=False, prefetch=0)
+    assert len(train) >= 1 and len(val) >= 1
+    with pytest.raises(TypeError, match="unknown dataset kwargs"):
+        create_dataloaders(str(flat_dir), None, batch_size=2, image_size=32,
+                           use_synthetic=True, gama_range=(2.0, 3.0),
+                           native=False, prefetch=0)
+
+
+def test_create_dataloaders_unpaired_falls_back_to_python(lol_dir):
+    """The native pipeline always pairs by index; paired=False must select
+    the Python loader (random high-image pairing), not crash or silently
+    change semantics."""
+    from cv_diffusion_tpu.data.dataset import DataLoader as PyLoader
+
+    train, _ = create_dataloaders(str(lol_dir), None, batch_size=2,
+                                  image_size=32, paired=False, prefetch=0)
+    assert isinstance(train, PyLoader)
+
+
+def test_create_dataloaders_bmp_falls_back_to_python(tmp_path):
+    """PIL decodes .bmp but the native decoder is PNG/JPEG-only: a dataset
+    containing .bmp files must auto-select the Python loader instead of
+    failing at the first native batch."""
+    from cv_diffusion_tpu.data.dataset import DataLoader as PyLoader
+    from cv_diffusion_tpu.data.native import native_available
+
+    rng = np.random.default_rng(0)
+    for sub in ("low", "high"):
+        (tmp_path / sub).mkdir()
+        for i in range(2):
+            arr = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / sub / f"b_{i}.bmp")
+    train, _ = create_dataloaders(str(tmp_path), None, batch_size=2,
+                                  image_size=32, prefetch=0)
+    assert isinstance(train, PyLoader)
+    batch = next(iter(train))
+    assert batch["low_light"].shape == (2, 32, 32, 3)
+    if native_available():
+        with pytest.raises(RuntimeError, match="non-PNG/JPEG"):
+            create_dataloaders(str(tmp_path), None, batch_size=2,
+                               image_size=32, native=True, prefetch=0)
+
+
+def test_prefetch_loader_early_close_swallows_pending_producer_error():
+    """After an intentional early break, errors the producer hit on batches
+    the consumer never requested must NOT surface at generator close time;
+    full consumption must still raise."""
+    import time
+    from cv_diffusion_tpu.data.prefetch import PrefetchLoader
+
+    class Boomy:
+        def __len__(self):
+            return 5
+
+        def __iter__(self):
+            yield {"a": np.zeros(1)}
+            yield {"a": np.ones(1)}
+            raise IOError("corrupt batch 3")
+
+    pre = PrefetchLoader(Boomy(), prefetch=4)
+    it = iter(pre)
+    next(it)
+    time.sleep(0.3)  # let the producer reach the error
+    it.close()  # must not raise

@@ -111,3 +111,22 @@ def test_native_dataloader_iteration(lol_dir):
     # epochs reshuffle and re-seed augmentation
     b2 = list(dl)[0]
     assert np.abs(batches[0]["low_light"] - b2["low_light"]).max() > 0
+
+
+def test_rotate_parity_with_cv2():
+    """The native rotation (inverse-map bilinear, reflect-101, center
+    (w/2-0.5, h/2-0.5)) must match augment.rotate's cv2.warpAffine within
+    1 LSB — the only geometric transform whose convention could silently
+    diverge between the two pipelines (crops/flips are exact index ops)."""
+    if not py_augment.HAS_CV2:
+        pytest.skip("cv2 not available")
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    for angle in (-15.0, -7.3, 0.0, 4.9, 15.0):
+        ref = py_augment.rotate(img, angle)
+        got = native.rotate_u8(img, angle)
+        diff = np.abs(ref.astype(np.int16) - got.astype(np.int16))
+        # interior must agree to 1 LSB; borders may differ slightly where
+        # cv2's fixed-point (5-bit) interpolation rounds reflect-101 taps
+        assert diff[2:-2, 2:-2].max() <= 1, f"angle={angle}"
+        assert float(diff.mean()) < 0.5, f"angle={angle}"
