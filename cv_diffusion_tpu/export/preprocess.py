@@ -28,7 +28,9 @@ class PreprocessMeta:
     """Metadata needed to invert preprocessing
     (``android_pipeline.py:123-138``)."""
     original_size: Tuple[int, int]          # (h, w)
-    scale: float
+    # (scale_h, scale_w): identical when keep_aspect, independent per axis
+    # for the anisotropic plain-resize mode.
+    scale: Tuple[float, float]
     pad: Tuple[int, int, int, int]          # top, bottom, left, right
     keep_aspect: bool
 
@@ -65,13 +67,13 @@ class PreProcessor:
             pad_right = s - nw - pad_left
             canvas = np.zeros((s, s, 3), dtype=np.uint8)
             canvas[pad_top:pad_top + nh, pad_left:pad_left + nw] = resized
-            meta = PreprocessMeta((h, w), scale,
+            meta = PreprocessMeta((h, w), (scale, scale),
                                   (pad_top, pad_bottom, pad_left, pad_right),
                                   True)
         else:
             canvas = cv2.resize(image_u8, (s, s),
                                 interpolation=cv2.INTER_LINEAR)
-            meta = PreprocessMeta((h, w), s / max(h, w), (0, 0, 0, 0), False)
+            meta = PreprocessMeta((h, w), (s / h, s / w), (0, 0, 0, 0), False)
 
         if not self.normalize:
             return canvas[None], meta
@@ -94,8 +96,7 @@ class PostProcessor:
             img = np.clip(img * 127.5 + 127.5, 0, 255).astype(np.uint8)
         if meta.keep_aspect:
             top, bottom, left, right = meta.pad
-            s = img.shape[0]
-            img = img[top:s - bottom if bottom else s,
-                      left:img.shape[1] - right if right else img.shape[1]]
+            img = img[top:img.shape[0] - bottom,
+                      left:img.shape[1] - right]
         h, w = meta.original_size
         return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)

@@ -18,7 +18,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from .quantization import QuantizationConfig, _path_str
+from .quantization import QuantizationConfig, int8_scale, should_skip_quant
 
 
 @jax.custom_vjp
@@ -38,14 +38,12 @@ _ste_round.defvjp(_ste_fwd, _ste_bwd)
 
 
 def fake_quant_tensor(p: jnp.ndarray, per_channel: bool = True) -> jnp.ndarray:
-    """Simulate symmetric int8 quantize→dequantize with STE gradients."""
+    """Simulate symmetric int8 quantize→dequantize with STE gradients.
+
+    Scale comes from quantization.int8_scale — the same formula the PTQ
+    export uses, so QAT simulates the deployed quantization exactly."""
     pf = p.astype(jnp.float32)
-    if per_channel and p.ndim >= 2:
-        axes = tuple(range(p.ndim - 1))
-        absmax = jnp.max(jnp.abs(pf), axis=axes, keepdims=True)
-    else:
-        absmax = jnp.max(jnp.abs(pf))
-    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    scale = int8_scale(pf, per_channel)
     q = jnp.clip(_ste_round(pf / scale), -127, 127)
     return (q * scale).astype(p.dtype)
 
@@ -53,16 +51,11 @@ def fake_quant_tensor(p: jnp.ndarray, per_channel: bool = True) -> jnp.ndarray:
 def fake_quant_params(params,
                       config: QuantizationConfig = QuantizationConfig()):
     """Apply fake quantization to every quantizable tensor in the pytree
-    (same skip rules as post-training int8: norms/biases/small tensors stay
-    exact)."""
+    (``quantization.should_skip_quant`` rules: norms/biases/small tensors
+    stay exact — identical to the post-training int8 export)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    out = []
-    for path, p in flat:
-        name = _path_str(path).lower()
-        skip = (not jnp.issubdtype(p.dtype, jnp.floating)
-                or p.size < config.min_size
-                or any(pat in name for pat in config.skip_patterns))
-        out.append(p if skip else fake_quant_tensor(p, config.per_channel))
+    out = [p if should_skip_quant(path, p, config)
+           else fake_quant_tensor(p, config.per_channel) for path, p in flat]
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -65,27 +65,40 @@ def quantize_bf16(params, skip_norm_params: bool = False,
             lambda p: p.astype(jnp.bfloat16)
             if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    out = []
-    for path, p in flat:
-        name = _path_str(path).lower()
-        skip = (not jnp.issubdtype(p.dtype, jnp.floating)
-                or p.size < config.min_size
-                or any(pat in name for pat in config.skip_patterns))
-        out.append(p if skip else p.astype(jnp.bfloat16))
+    out = [p if should_skip_quant(path, p, config)
+           else p.astype(jnp.bfloat16) for path, p in flat]
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def should_skip_quant(path, p,
+                      config: QuantizationConfig = QuantizationConfig()
+                      ) -> bool:
+    """THE skip rule (norms/biases/small/non-float stay exact) — shared by
+    PTQ int8, selective bf16, and QAT fake-quant so the three paths cannot
+    silently disagree about which tensors quantize."""
+    name = _path_str(path).lower()
+    return (not jnp.issubdtype(p.dtype, jnp.floating)
+            or p.size < config.min_size
+            or any(pat in name for pat in config.skip_patterns))
+
+
+def int8_scale(pf: jnp.ndarray, per_channel: bool) -> jnp.ndarray:
+    """Symmetric int8 scale s = absmax/127 (per output channel = last axis
+    for HWIO conv kernels and (in, out) dense kernels) — shared by PTQ and
+    QAT so fake-quant simulates the export exactly."""
+    if per_channel and pf.ndim >= 2:
+        axes = tuple(range(pf.ndim - 1))
+        absmax = jnp.max(jnp.abs(pf), axis=axes, keepdims=True)
+    else:
+        absmax = jnp.max(jnp.abs(pf))
+    return jnp.maximum(absmax / 127.0, 1e-12)
 
 
 def _quantize_tensor(p: jnp.ndarray, per_channel: bool
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric int8: q = round(p / s), s = absmax/127 (per output channel =
-    last axis for HWIO conv kernels and (in, out) dense kernels)."""
+    """Symmetric int8: q = round(p / s)."""
     pf = p.astype(jnp.float32)
-    if per_channel and p.ndim >= 2:
-        axes = tuple(range(p.ndim - 1))
-        absmax = jnp.max(jnp.abs(pf), axis=axes, keepdims=True)
-    else:
-        absmax = jnp.max(jnp.abs(pf))
-    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    scale = int8_scale(pf, per_channel)
     q = jnp.clip(jnp.round(pf / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
 
@@ -97,11 +110,7 @@ def quantize_int8(params, config: QuantizationConfig = QuantizationConfig()
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     values, scales, mask = [], [], []
     for path, p in flat:
-        name = _path_str(path).lower()
-        skip = (not jnp.issubdtype(p.dtype, jnp.floating)
-                or p.size < config.min_size
-                or any(pat in name for pat in config.skip_patterns))
-        if skip:
+        if should_skip_quant(path, p, config):
             values.append(p)
             scales.append(jnp.ones((), jnp.float32))
             mask.append(False)

@@ -116,6 +116,11 @@ def lcm_timesteps(num_inference_steps: int = 4,
     ``[739, 499, 259, 19]`` for 4 steps and
     ``[859, 739, 619, 499, 379, 259, 139, 19]`` for 8.
     """
+    if not 1 <= num_inference_steps <= original_inference_steps:
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} must be in "
+            f"[1, original_inference_steps={original_inference_steps}]: the "
+            "LCM grid subsamples the teacher's DDIM grid")
     c = num_train_timesteps // original_inference_steps
     origin = [i * c - 1 for i in range(1, original_inference_steps + 1)]
     skip = len(origin) // num_inference_steps

@@ -57,9 +57,21 @@ def distributed_init(coordinator_address: Optional[str] = None,
         return False
     if coordinator_address is not None:
         if num_processes is None:
-            num_processes = int(os.environ["CVDM_NUM_PROCESSES"])
+            env = os.environ.get("CVDM_NUM_PROCESSES")
+            if env is None:
+                raise ValueError(
+                    "distributed_init: a coordinator address requires "
+                    "num_processes and process_id (as args or "
+                    "CVDM_NUM_PROCESSES / CVDM_PROCESS_ID env vars)")
+            num_processes = int(env)
         if process_id is None:
-            process_id = int(os.environ["CVDM_PROCESS_ID"])
+            env = os.environ.get("CVDM_PROCESS_ID")
+            if env is None:
+                raise ValueError(
+                    "distributed_init: a coordinator address requires "
+                    "num_processes and process_id (as args or "
+                    "CVDM_NUM_PROCESSES / CVDM_PROCESS_ID env vars)")
+            process_id = int(env)
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
     else:
@@ -133,16 +145,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch pytree with batch sharding.
 
-    Arrays whose batch dim doesn't divide the data axis (e.g. a short final
-    eval batch) are replicated instead — correctness over speed for stragglers.
+    Per leaf, the sharding degrades gracefully: dims that don't exist or
+    don't divide their mesh axis are dropped innermost-first (a [B] timestep
+    vector shards over ``data`` only; a short final eval batch replicates) —
+    correctness over speed for stragglers.
     """
-    sharding = batch_sharding(mesh)
+    spec = list(batch_sharding(mesh).spec)  # e.g. ['data', 'spatial']
     repl = replicated_sharding(mesh)
 
     def put(x):
-        n = mesh.shape[DATA_AXIS]
-        if x.ndim >= 1 and x.shape[0] % max(1, n) == 0:
-            return jax.device_put(x, sharding)
+        names = spec[:getattr(x, "ndim", 0)]
+        while names:
+            if all(a is None or x.shape[d] % mesh.shape[a] == 0
+                   for d, a in enumerate(names)):
+                return jax.device_put(x, NamedSharding(mesh, P(*names)))
+            names.pop()
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(put, batch)
@@ -162,7 +179,13 @@ def pad_batch(batch, multiple: int):
     leaves = jax.tree_util.tree_leaves(batch)
     if not leaves:
         return batch, 0
-    n = leaves[0].shape[0]
+    n = np.asarray(leaves[0]).shape[0]
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        if arr.ndim == 0 or arr.shape[0] != n:
+            raise ValueError(
+                "pad_batch expects every leaf batched along axis 0 with "
+                f"equal length {n}; got a leaf of shape {arr.shape}")
     target = -(-n // max(1, multiple)) * max(1, multiple)
     if target == n:
         return batch, n

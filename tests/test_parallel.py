@@ -294,3 +294,45 @@ def test_sharded_serving_fn(tiny_training):
     assert out.dtype == jnp.float32
     # output actually sharded over the data axis
     assert out.sharding.shard_shape(out.shape)[0] == 2
+
+
+def test_shard_batch_graceful_degradation():
+    """Per-leaf sharding drops non-fitting axes innermost-first instead of
+    raising: 1-D leaves shard over data only, spatially-indivisible leaves
+    drop the spatial axis, batch-indivisible leaves replicate."""
+    mesh = make_mesh((4, 2))
+    batch = {
+        "img": np.zeros((8, 32, 32, 3), np.float32),   # full (data, spatial)
+        "odd_h": np.zeros((8, 33, 33, 3), np.float32),  # 33 % 2 → data only
+        "t": np.zeros((8,), np.int32),                  # 1-D → data only
+        "ragged": np.zeros((3, 4, 4, 3), np.float32),   # 3 % 4 → replicated
+        "scalar": np.float32(1.0),                      # 0-D → replicated
+    }
+    out = shard_batch(mesh, batch)
+    def spec(x):
+        return tuple(x.sharding.spec)
+    assert spec(out["img"]) == ("data", "spatial")
+    assert spec(out["odd_h"]) == ("data",)
+    assert spec(out["t"]) == ("data",)
+    assert spec(out["ragged"]) == ()
+    assert spec(out["scalar"]) == ()
+    # values are untouched either way
+    np.testing.assert_array_equal(np.asarray(out["img"]), batch["img"])
+
+
+def test_pad_batch_rejects_mismatched_leaves():
+    from cv_diffusion_tpu.parallel.mesh import pad_batch
+
+    with pytest.raises(ValueError, match="axis 0"):
+        pad_batch({"img": np.zeros((6, 4)), "step": np.int64(3)}, 8)
+    with pytest.raises(ValueError, match="axis 0"):
+        pad_batch({"a": np.zeros((6, 4)), "b": np.zeros((5, 4))}, 8)
+
+
+def test_distributed_init_coordinator_requires_process_info(monkeypatch):
+    from cv_diffusion_tpu.parallel.mesh import distributed_init
+
+    monkeypatch.delenv("CVDM_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("CVDM_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="CVDM_NUM_PROCESSES"):
+        distributed_init(coordinator_address="host:1234")
