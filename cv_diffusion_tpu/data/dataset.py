@@ -179,6 +179,23 @@ class SyntheticLowLightDataset:
                 "filename": self.images[idx].name}
 
 
+def shard_files_by_process(files: List, process_id: int,
+                           num_processes: int) -> List:
+    """Strided per-process shard of a file list, truncated to equal length
+    so every process runs the same number of steps per epoch (jit
+    collectives are global in multi-host runs and must stay in lockstep)."""
+    if num_processes <= 1:
+        return list(files)
+    if not 0 <= process_id < num_processes:
+        raise ValueError(f"process_id {process_id} outside "
+                         f"[0, {num_processes})")
+    n_per = len(files) // num_processes
+    if n_per == 0:
+        raise ValueError(f"cannot shard {len(files)} files across "
+                         f"{num_processes} processes")
+    return list(files)[process_id::num_processes][:n_per]
+
+
 def num_batches(n: int, batch_size: int, drop_last: bool) -> int:
     """Single ``len()`` formula shared by every loader (Python + native)."""
     if drop_last:
@@ -235,7 +252,9 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
                        batch_size: int = 8, image_size: int = 256,
                        use_synthetic: bool = False, seed: int = 0,
                        native: Optional[bool] = None, prefetch: int = 2,
-                       num_threads: int = 0, **dataset_kwargs):
+                       num_threads: int = 0,
+                       shard_by_process: Optional[bool] = None,
+                       **dataset_kwargs):
     """Train + optional val loaders (``dataset.py:335-396``).
 
     ``native=None`` auto-selects the C++ pipeline (``native/dataloader.cc``)
@@ -244,6 +263,12 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
     (``src/training/dataset.py:371-378``); ``False`` forces pure Python,
     ``True`` requires the library.  ``prefetch`` > 0 wraps the loaders so the
     next batch is assembled while the device runs the current step.
+
+    ``shard_by_process=None`` auto-shards the TRAIN file list across hosts
+    when ``jax.process_count() > 1`` (each process feeds its local devices a
+    disjoint shard; global batch = batch_size × processes). The val set is
+    deliberately NOT sharded: every process must compute the same val_loss,
+    because best-model checkpointing is a collective save keyed on it.
     """
     import inspect
 
@@ -291,12 +316,23 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
             print(f"Note: using the Python loader ({reason})")
         return False
 
+    if shard_by_process is None or shard_by_process:
+        import jax
+        n_procs = jax.process_count()
+        do_shard = n_procs > 1 if shard_by_process is None else True
+        pid = jax.process_index()
+    else:
+        do_shard, n_procs, pid = False, 1, 0
+
     if use_synthetic:
         # Python dataset used for file discovery (and as fallback).
         train_ds = SyntheticLowLightDataset(train_root, image_size=image_size,
                                             seed=seed,
                                             **_kwargs_for(
                                                 SyntheticLowLightDataset))
+        if do_shard:
+            train_ds.images = shard_files_by_process(train_ds.images, pid,
+                                                     n_procs)
         if _native_for(train_ds.images):
             train_loader = NativeSyntheticDataLoader(
                 [str(p) for p in train_ds.images], image_size, batch_size,
@@ -311,6 +347,12 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
         train_ds = LowLightDataset(train_root, image_size=image_size,
                                    augment_data=True, seed=seed,
                                    **_kwargs_for(LowLightDataset))
+        if do_shard:
+            # same strided indices on both sides keeps pairs aligned
+            train_ds.low_images = shard_files_by_process(
+                train_ds.low_images, pid, n_procs)
+            train_ds.high_images = shard_files_by_process(
+                train_ds.high_images, pid, n_procs)
         if _native_for(train_ds.low_images + train_ds.high_images,
                        paired_ok=dataset_kwargs.get("paired", True)):
             train_loader = NativeDataLoader(

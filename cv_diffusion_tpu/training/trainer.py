@@ -109,12 +109,18 @@ class Trainer:
         self.epoch = 0
         self.best_val_loss = float("inf")
 
+        # Multi-host: host-only side effects (sample grids, W&B logging)
+        # happen on process 0 only. Checkpoint saves stay on every process
+        # (orbax saves of sharded arrays are collective). Single-process
+        # runs: process_index() == 0 always.
+        self.is_main_process = jax.process_index() == 0
+
         self.output_dir = Path(self.config.output_dir)
         self.checkpoint_dir = Path(self.config.checkpoint_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
-        self.use_wandb = self.config.use_wandb
+        self.use_wandb = self.config.use_wandb and self.is_main_process
         if self.use_wandb and not HAS_WANDB:
             print("Warning: wandb not installed. Logging disabled.")
             self.use_wandb = False
@@ -152,13 +158,17 @@ class Trainer:
             if self.use_wandb:
                 wandb.log(log)
 
+            # Checkpoint saves run on EVERY process — orbax's save of
+            # sharded arrays is collective in multi-host runs (each process
+            # writes its shards); gating to process 0 would deadlock.
             if (epoch + 1) % self.config.save_interval == 0:
                 self.save_checkpoint(f"checkpoint_epoch_{epoch}")
             if val_loss is not None and val_loss < self.best_val_loss:
                 self.best_val_loss = val_loss
                 self.save_checkpoint("best_model")
             if (epoch + 1) % self.config.sample_interval == 0:
-                self.generate_samples(epoch)
+                if self.is_main_process:
+                    self.generate_samples(epoch)
 
         self.save_checkpoint("final_model")
         if self.use_wandb:

@@ -337,3 +337,27 @@ def test_prefetch_loader_early_close_swallows_pending_producer_error():
     next(it)
     time.sleep(0.3)  # let the producer reach the error
     it.close()  # must not raise
+
+
+def test_shard_files_by_process():
+    """Multi-host data sharding: disjoint equal-length strided shards, and
+    the same stride on low/high lists keeps pairs aligned."""
+    from cv_diffusion_tpu.data.dataset import shard_files_by_process
+
+    files = list(range(10))
+    shards = [shard_files_by_process(files, p, 3) for p in range(3)]
+    assert all(len(s) == 3 for s in shards)  # equal steps per process
+    combined = [x for s in shards for x in s]
+    assert len(set(combined)) == 9  # disjoint (one file dropped by trunc)
+
+    low = [f"l{i}" for i in range(10)]
+    high = [f"h{i}" for i in range(10)]
+    l1 = shard_files_by_process(low, 1, 3)
+    h1 = shard_files_by_process(high, 1, 3)
+    assert [s[1:] for s in l1] == [s[1:] for s in h1]  # pairs aligned
+
+    assert shard_files_by_process(files, 0, 1) == files  # single-process
+    with pytest.raises(ValueError):
+        shard_files_by_process([1], 0, 2)
+    with pytest.raises(ValueError):
+        shard_files_by_process(files, 3, 3)
