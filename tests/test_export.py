@@ -232,6 +232,27 @@ def test_serving_pipeline_from_package(tiny, tmp_path):
     assert out.shape == (32, 32, 3)
 
 
+def test_from_package_defaults_from_metadata(tiny, tmp_path):
+    """Without an explicit config, from_package reads the package's own
+    recorded image size and step count (model_config.json); None overrides
+    are dropped, non-None overrides win — the contract the inference and
+    benchmark CLIs rely on for their optional flags."""
+    model, schedule, params = tiny
+    create_serving_package(str(tmp_path / "pkg_meta"), model, schedule,
+                           params, num_inference_steps=2)
+
+    pipe = ServingPipeline.from_package(str(tmp_path / "pkg_meta"))
+    assert pipe.config.image_size == 32          # from package metadata
+    assert pipe.config.num_inference_steps == 2  # from package metadata
+
+    pipe = ServingPipeline.from_package(
+        str(tmp_path / "pkg_meta"), image_size=None,
+        num_inference_steps=1, batch_size=4)
+    assert pipe.config.image_size == 32          # None override dropped
+    assert pipe.config.num_inference_steps == 1  # explicit override wins
+    assert pipe.config.batch_size == 4
+
+
 def test_serving_benchmark_stats(tiny):
     model, schedule, params = tiny
     pipe = ServingPipeline(model, schedule, params,
