@@ -336,3 +336,31 @@ def test_distributed_init_coordinator_requires_process_info(monkeypatch):
     monkeypatch.delenv("CVDM_PROCESS_ID", raising=False)
     with pytest.raises(ValueError, match="CVDM_NUM_PROCESSES"):
         distributed_init(coordinator_address="host:1234")
+
+
+def test_sharded_serving_fn_accepts_variables_dict():
+    """int8_act packages carry {'params': ..., 'act_scales': ...}; the
+    sharded sampler must accept the full variables dict exactly like the
+    single-device sampler (it reuses make_sample_fn — regression for a
+    re-implemented copy that dropped the handling)."""
+    from cv_diffusion_tpu.export.quantization import act_quant_model
+    from cv_diffusion_tpu.models.diffusion import init_model as _init
+    from cv_diffusion_tpu.parallel import make_sharded_sample_fn
+
+    cfg = diffusion_config("tiny", image_size=32, num_inference_steps=2)
+    model, schedule = create_model(cfg)
+    variables = _init(model, jax.random.key(0))
+    qmodel, _ = act_quant_model(cfg)
+    qvars = _init(qmodel, jax.random.key(0))
+    qvars = {"params": variables["params"],
+             "act_scales": qvars["act_scales"]}
+
+    mesh = make_mesh((8, 1))
+    fn = make_sharded_sample_fn(qmodel, schedule, num_inference_steps=2,
+                                mesh=mesh)
+    low = np.random.default_rng(3).uniform(-1, 0, (8, 32, 32, 3)).astype(
+        np.float32)
+    out = fn(qvars, jax.random.key_data(jax.random.key(0)),
+             jnp.asarray(low))
+    assert out.shape == (8, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
