@@ -250,6 +250,10 @@ class TrainConfig:
     # Debugging: raise on NaN/Inf anywhere in the computation (the JAX
     # equivalent of a sanitizer pass; SURVEY §5 — the reference has none).
     debug_nans: bool = False
+    # Route linear attention through the Pallas kernel during training (it
+    # carries a custom VJP: Pallas forward + analytic XLA backward). Off by
+    # default pending an on-chip train-step A/B; serving defaults it on.
+    use_pallas: bool = False
     # Parallelism: mesh shape, e.g. (8,) pure-DP or (4, 2) data×spatial
     # (None = auto: largest DP mesh the batch divides). mesh_axes=None
     # derives names from the shape's rank (('data',) / ('data','spatial')).

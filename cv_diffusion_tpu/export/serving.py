@@ -217,10 +217,9 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
 def load_serving_package(package_dir: str, use_pallas: Optional[bool] = None):
     """Rebuild (model, schedule, params) from a package directory.
 
-    ``use_pallas``: serving is forward-only, so the Pallas linear-attention
-    kernel (whole-model win on v5e, never slower — BENCHMARKS.md) is enabled
-    by default; pass False to force the XLA einsum path. Parameter structure
-    is identical either way.
+    ``use_pallas``: the Pallas linear-attention kernel (whole-model win on
+    v5e, never slower — BENCHMARKS.md) is enabled by default; pass False to
+    force the XLA einsum path. Parameter structure is identical either way.
     """
     import dataclasses
 

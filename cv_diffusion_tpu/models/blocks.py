@@ -284,10 +284,9 @@ class LinearAttentionBlock(nn.Module):
         qkv = qkv.reshape(b, hgt * wid, 3, self.num_heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        # Kernel path is forward-only (no VJP): training keeps the XLA
-        # einsum form, inference routes through Pallas when enabled.
-        out = linear_attention(q, k, v,
-                               use_pallas=self.use_pallas and not train)
+        # The Pallas kernel carries a custom VJP (analytic XLA backward,
+        # ops/pallas_attention.py), so the same path serves train and eval.
+        out = linear_attention(q, k, v, use_pallas=self.use_pallas)
 
         out = out.reshape(b, hgt, wid, inner)
         out = QConv(c, (1, 1), use_bias=False, dtype=self.dtype,

@@ -35,8 +35,10 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       [B, N, H, D].
     """
     if use_pallas:
-        from .pallas_attention import linear_attention_pallas
-        return linear_attention_pallas(q, k, v, eps=eps)
+        # Differentiable wrapper: Pallas forward kernel + analytic XLA
+        # backward, so the same path serves training and inference.
+        from .pallas_attention import linear_attention_pallas_trainable
+        return linear_attention_pallas_trainable(q, k, v, eps)
     return linear_attention_xla(q, k, v, eps=eps)
 
 

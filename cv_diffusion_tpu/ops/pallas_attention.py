@@ -165,3 +165,74 @@ def linear_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out = out[:, :n]
     out = out.reshape(b, n, groups, d)[..., :dg]
     return out.reshape(b, n, h, dh)
+
+
+# -- Differentiable wrapper: Pallas forward, analytic XLA backward ----------
+#
+# The kernel above is forward-only (Mosaic emits no VJP).  For training we
+# pair it with the closed-form gradient of the linear-attention math — the
+# same fwd-kernel/analytic-bwd split JAX's stock flash-attention uses.  The
+# backward runs as plain einsums (they are the transposes of the two forward
+# contractions, equally MXU-friendly), recomputing φ(q)/φ(k)/kv/den from the
+# saved inputs instead of storing O(N·D) intermediates.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def linear_attention_pallas_trainable(q, k, v, eps: float = 1e-6):
+    """``linear_attention_pallas`` with a VJP, usable under ``jax.grad``.
+
+    q, k, v: [B, N, H, D]; returns [B, N, H, D] (same dtype as q).
+    """
+    return linear_attention_pallas(q, k, v, eps=eps)
+
+
+def _phi(x):
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
+def _phi_grad(x):
+    # d/dx (elu(x)+1) = 1 for x>0 else exp(x).
+    return jnp.where(x > 0, 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
+def _trainable_fwd(q, k, v, eps):
+    return linear_attention_pallas(q, k, v, eps=eps), (q, k, v)
+
+
+def _trainable_bwd(eps, res, g):
+    q, k, v = res
+    qf = _phi(q.astype(jnp.float32))
+    kf = _phi(k.astype(jnp.float32))
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    k_sum = kf.sum(axis=1)                                       # [B,H,D]
+    kv = jnp.einsum("bnhd,bnhe->bhde", kf, vf,
+                    preferred_element_type=jnp.float32)          # [B,H,D,E]
+    den = jnp.einsum("bnhd,bhd->bnh", qf, k_sum,
+                     preferred_element_type=jnp.float32) + eps   # [B,N,H]
+    num = jnp.einsum("bnhd,bhde->bnhe", qf, kv,
+                     preferred_element_type=jnp.float32)         # [B,N,H,E]
+
+    d_num = gf / den[..., None]
+    d_den = -jnp.einsum("bnhe,bnhe->bnh", gf, num,
+                        preferred_element_type=jnp.float32) / (den * den)
+
+    d_phiq = (jnp.einsum("bnhe,bhde->bnhd", d_num, kv,
+                         preferred_element_type=jnp.float32)
+              + d_den[..., None] * k_sum[:, None])
+    d_kv = jnp.einsum("bnhd,bnhe->bhde", qf, d_num,
+                      preferred_element_type=jnp.float32)
+    d_ksum = jnp.einsum("bnhd,bnh->bhd", qf, d_den,
+                        preferred_element_type=jnp.float32)
+    d_phik = (jnp.einsum("bhde,bnhe->bnhd", d_kv, vf,
+                         preferred_element_type=jnp.float32)
+              + d_ksum[:, None])
+    d_v = jnp.einsum("bnhd,bhde->bnhe", kf, d_kv,
+                     preferred_element_type=jnp.float32)
+
+    d_q = (d_phiq * _phi_grad(q.astype(jnp.float32))).astype(q.dtype)
+    d_k = (d_phik * _phi_grad(k.astype(jnp.float32))).astype(k.dtype)
+    return d_q, d_k, d_v.astype(v.dtype)
+
+
+linear_attention_pallas_trainable.defvjp(_trainable_fwd, _trainable_bwd)

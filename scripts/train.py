@@ -38,6 +38,7 @@ _FLAG_TO_FIELD = {
     "wandb_project": "wandb_project",
     "resume": "resume_from",
     "seed": "seed",
+    "use_pallas": "use_pallas",
 }
 
 
@@ -125,6 +126,9 @@ def build_parser():
     p.add_argument("--no_warmup", action="store_true",
                    help="Reference-faithful: cosine from step 0, no warmup")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_pallas", action="store_true",
+                   help="Pallas linear-attention kernel in the train step "
+                        "(custom VJP: Pallas forward, analytic XLA backward)")
     # Logging / checkpointing
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")

@@ -145,6 +145,21 @@ def test_train_cli_no_config_uses_flags():
     assert data_dir == "data/our485"  # argparse default
     assert val_dir is None
     assert use_synth is False
+    assert config.use_pallas is False
+
+
+def test_train_cli_use_pallas_flag():
+    """--use_pallas reaches TrainConfig and the built model config."""
+    from cv_diffusion_tpu.config import diffusion_config
+
+    mod = _train_cli()
+    argv = ["--use_pallas", "--variant", "tiny"]
+    args = mod.build_parser().parse_args(argv)
+    config, *_ = mod.resolve_config(args, argv)
+    assert config.use_pallas is True
+    model_cfg = diffusion_config(config.unet_variant, config.image_size,
+                                 use_pallas=config.use_pallas)
+    assert model_cfg.unet.use_pallas is True
 
 
 def test_tpu_compiler_options_cpu_gated():

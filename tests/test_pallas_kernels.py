@@ -58,6 +58,57 @@ def test_linear_attention_pallas_bf16():
                                np.asarray(ref, dtype=np.float32), atol=2e-2)
 
 
+@pytest.mark.parametrize("shape", [(2, 256, 4, 32), (1, 100, 2, 32),
+                                   (1, 128, 6, 32)])
+def test_linear_attention_pallas_grad_matches_xla(shape):
+    """custom-VJP backward (analytic XLA) == autodiff of the XLA path."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(pa.linear_attention_pallas_trainable(q, k, v) * ct)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(linear_attention_xla(q, k, v) * ct)
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gp, gx, name in zip(g_pallas, g_xla, "qkv"):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=5e-4, err_msg=f"d{name}")
+
+
+def test_unet_train_grads_flow_through_pallas_attention():
+    """use_pallas no longer gates to XLA in train mode: grads are finite and
+    close to the XLA-path grads through the full tiny UNet."""
+    from cv_diffusion_tpu.models import create_efficient_unet, init_unet
+
+    x = jax.random.normal(jax.random.key(1), (1, 32, 32, 6))
+    t = jnp.asarray([5], dtype=jnp.int32)
+
+    grads = {}
+    for use_pallas in (True, False):
+        unet = create_efficient_unet("tiny", image_size=32, in_channels=6,
+                                     use_pallas=use_pallas)
+        variables = init_unet(unet, jax.random.key(0))
+
+        def loss(params):
+            y = unet.apply({"params": params}, x, t, train=True,
+                           rngs={"dropout": jax.random.key(2)})
+            return jnp.mean(y ** 2)
+
+        grads[use_pallas] = jax.grad(loss)(variables["params"])
+
+    flat_p = jax.tree_util.tree_leaves(grads[True])
+    flat_x = jax.tree_util.tree_leaves(grads[False])
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat_p)
+    for gp, gx in zip(flat_p, flat_x):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=5e-4)
+
+
 def test_head_dim_over_lanes_raises():
     x = jnp.zeros((1, 8, 2, 256))
     with pytest.raises(ValueError):
