@@ -118,6 +118,29 @@ def test_spatial_sharded_train_step(tiny_training):
     assert float(m["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
 
 
+def test_spatial_sharded_train_step_with_pallas_attention(tiny_training):
+    """use_pallas composes with a data×spatial mesh: pallas_call operands
+    get gathered/replicated by SPMD where needed, and the loss matches the
+    unsharded XLA-path step."""
+    _, schedule, variables, tcfg = tiny_training
+    cfg = diffusion_config("tiny", image_size=32, use_pallas=True)
+    model_p, _ = create_model(cfg)
+    batch = _host_batch()
+
+    state1 = create_train_state(model_p, tcfg, jax.random.key(0),
+                                steps_per_epoch=10, variables=variables)
+    step1 = make_train_step(model_p, schedule, tcfg, donate=False)
+    _, m1 = step1(state1, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    mesh = make_mesh((4, 2))
+    state = create_train_state(model_p, tcfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_train_step(model_p, schedule, tcfg, mesh=mesh, donate=False)
+    state, m = step(state, shard_batch(mesh, batch))
+    assert float(m["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+    assert int(state.step) == 1
+
+
 def test_sharded_enhance(tiny_training):
     """Sampling under a DP mesh: batch sharded, params replicated."""
     model, schedule, variables, _ = tiny_training
