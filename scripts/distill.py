@@ -51,6 +51,10 @@ def main():
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_pallas", action="store_true",
+                   help="Pallas linear-attention kernel for the teacher/"
+                        "student/EMA forwards (custom VJP covers the "
+                        "student's backward)")
     args = p.parse_args()
 
     import jax
@@ -61,7 +65,8 @@ def main():
     from cv_diffusion_tpu.training import checkpoint as ckpt
 
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
-                                 num_inference_steps=args.num_steps)
+                                 num_inference_steps=args.num_steps,
+                                 use_pallas=args.use_pallas)
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(
