@@ -37,6 +37,12 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_pallas:
         # Differentiable wrapper: Pallas forward kernel + analytic XLA
         # backward, so the same path serves training and inference.
+        # Sharding caveat: pallas_call is opaque to the SPMD partitioner —
+        # under a spatially-sharded (token-axis) mesh the q/k/v operands are
+        # gathered per device rather than kept sharded, so for genuinely
+        # token-sharded regimes (512²+ over the spatial axis) keep the XLA
+        # path (partitioner inserts the one psum) or use
+        # linear_attention_sharded below.
         from .pallas_attention import linear_attention_pallas_trainable
         return linear_attention_pallas_trainable(q, k, v, eps)
     return linear_attention_xla(q, k, v, eps=eps)

@@ -185,8 +185,9 @@ def linear_attention_pallas_trainable(q, k, v, eps: float = 1e-6):
     return linear_attention_pallas(q, k, v, eps=eps)
 
 
-def _phi(x):
-    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+# The backward is only valid if its feature map exactly matches the forward
+# kernel's — alias, never redefine.
+_phi = _elu_plus_one
 
 
 def _phi_grad(x):

@@ -120,16 +120,18 @@ def test_spatial_sharded_train_step(tiny_training):
 
 def test_spatial_sharded_train_step_with_pallas_attention(tiny_training):
     """use_pallas composes with a data×spatial mesh: pallas_call operands
-    get gathered/replicated by SPMD where needed, and the loss matches the
-    unsharded XLA-path step."""
-    _, schedule, variables, tcfg = tiny_training
+    get gathered/replicated by SPMD where needed, and the sharded-Pallas
+    loss matches the unsharded XLA-path step (cross-path check). Note this
+    asserts correctness only — pallas_call is opaque to the partitioner, so
+    the token axis is NOT sharded inside the kernel (see ops/attention.py)."""
+    model_x, schedule, variables, tcfg = tiny_training
     cfg = diffusion_config("tiny", image_size=32, use_pallas=True)
     model_p, _ = create_model(cfg)
     batch = _host_batch()
 
-    state1 = create_train_state(model_p, tcfg, jax.random.key(0),
+    state1 = create_train_state(model_x, tcfg, jax.random.key(0),
                                 steps_per_epoch=10, variables=variables)
-    step1 = make_train_step(model_p, schedule, tcfg, donate=False)
+    step1 = make_train_step(model_x, schedule, tcfg, donate=False)
     _, m1 = step1(state1, jax.tree_util.tree_map(jnp.asarray, batch))
 
     mesh = make_mesh((4, 2))
