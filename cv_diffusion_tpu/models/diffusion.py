@@ -129,7 +129,12 @@ def train_forward(model: LowLightDiffusion, schedule: LCMSchedule,
     """Training forward pass (``low_light_diffusion.py:115-171``).
 
     Samples t ~ U[0, T), ε ~ N(0, 1), forms x_t, runs the UNet on the
-    conditioned input.  Returns {noise_pred, noise, timesteps}.
+    conditioned input.  Returns {noise_pred, noise, target, timesteps},
+    where ``target`` is the regression target under the schedule's
+    ``prediction_type``: ε for "epsilon", v = √ᾱ·ε − √(1-ᾱ)·x₀ for
+    "v_prediction" (the reference defines ``get_velocity``,
+    ``lcm_scheduler.py:282-305``, but its trainer only ever trains ε;
+    here the config flag is honored end-to-end).
     """
     t_rng, n_rng, d_rng = jax.random.split(rng, 3)
     batch = low_light.shape[0]
@@ -142,7 +147,12 @@ def train_forward(model: LowLightDiffusion, schedule: LCMSchedule,
     noisy = sched.add_noise(schedule, normal_light, noise, timesteps)
     noise_pred = model.apply(variables, noisy, low_light, timesteps,
                              train=train, rngs={"dropout": d_rng})
-    return {"noise_pred": noise_pred, "noise": noise, "timesteps": timesteps}
+    if schedule.config.prediction_type == "v_prediction":
+        target = sched.get_velocity(schedule, normal_light, noise, timesteps)
+    else:
+        target = noise
+    return {"noise_pred": noise_pred, "noise": noise, "target": target,
+            "timesteps": timesteps}
 
 
 def huber(pred: jnp.ndarray, target: jnp.ndarray,
@@ -174,7 +184,7 @@ def compute_loss(model: LowLightDiffusion, schedule: LCMSchedule, variables,
                  train: bool = True) -> jnp.ndarray:
     out = train_forward(model, schedule, variables, rng, low_light,
                         normal_light, train=train)
-    return diffusion_loss(out["noise_pred"], out["noise"], loss_type)
+    return diffusion_loss(out["noise_pred"], out["target"], loss_type)
 
 
 def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,

@@ -158,7 +158,7 @@ def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
             out = train_forward(model, schedule, {"params": params},
                                 step_rng, batch["low_light"],
                                 batch["normal_light"], train=True)
-            return diffusion_loss(out["noise_pred"], out["noise"],
+            return diffusion_loss(out["noise_pred"], out["target"],
                                   config.loss_type)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -216,7 +216,7 @@ def make_eval_step(model: LowLightDiffusion, schedule: LCMSchedule,
                             batch["low_light"], batch["normal_light"],
                             train=False)
         err = (out["noise_pred"].astype(jnp.float32)
-               - out["noise"].astype(jnp.float32))
+               - out["target"].astype(jnp.float32))
         per_example = jnp.mean(err * err, axis=(1, 2, 3))
         mask = jnp.arange(per_example.shape[0]) < n_valid
         return jnp.sum(per_example * mask) / jnp.maximum(n_valid, 1)
