@@ -16,10 +16,29 @@ XLA form larger fusions over the wide decoder hiddens —
 compiler-tuning surface at all.
 """
 
+import os
+
 import jax
 
 # String-valued, per XLA's compile-options env schema.
 TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def maybe_enable_compilation_cache() -> bool:
+    """Opt-in persistent XLA compilation cache for the CLIs.
+
+    Set ``CVDM_COMPILE_CACHE=<dir>`` to cache compiled executables across
+    process runs (big-graph compiles are minutes on the remote-compile TPU
+    backend; repeated CLI invocations at the same shapes then start in
+    seconds). Off by default: caching trades disk for compile time and is a
+    per-user choice. Returns True when enabled. Call before the first jit.
+    """
+    cache_dir = os.environ.get("CVDM_COMPILE_CACHE", "")
+    if not cache_dir:
+        return False
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return True
 
 
 def tpu_compiler_options():

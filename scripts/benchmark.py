@@ -81,6 +81,9 @@ def benchmark_model(args):
 
 
 def main():
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+    maybe_enable_compilation_cache()  # CVDM_COMPILE_CACHE=<dir>
     p = argparse.ArgumentParser(description="Benchmark the TPU sampler")
     p.add_argument("--variant", type=str, default="small")
     # None defaults: with --model --format package, load_pipeline reads the

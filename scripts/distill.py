@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main():
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+    maybe_enable_compilation_cache()  # CVDM_COMPILE_CACHE=<dir>
     p = argparse.ArgumentParser(description="LCM consistency distillation")
     p.add_argument("--teacher", type=str, required=True,
                    help="Teacher checkpoint dir (orbax)")

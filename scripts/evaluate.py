@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main():
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+    maybe_enable_compilation_cache()  # CVDM_COMPILE_CACHE=<dir>
     p = argparse.ArgumentParser(description="PSNR/SSIM evaluation")
     p.add_argument("--data_dir", type=str, required=True,
                    help="Paired eval set (root/{low,high}/)")

@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main():
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+    maybe_enable_compilation_cache()  # CVDM_COMPILE_CACHE=<dir>
     p = argparse.ArgumentParser(description="Export model for serving")
     p.add_argument("--checkpoint", type=str, required=True,
                    help="Training checkpoint dir (orbax) or params dir")

@@ -67,6 +67,9 @@ def enhance_file(pipe, in_path: Path, out_path: Path) -> float:
 
 
 def main():
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+    maybe_enable_compilation_cache()  # CVDM_COMPILE_CACHE=<dir>
     p = argparse.ArgumentParser(description="Low-light enhancement inference")
     p.add_argument("--input", type=str, required=True,
                    help="Input image or directory")

@@ -149,6 +149,9 @@ def build_parser():
 
 
 def main():
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+    maybe_enable_compilation_cache()  # CVDM_COMPILE_CACHE=<dir>
     args = build_parser().parse_args()
 
     config, data_dir, val_dir, use_synth = resolve_config(args, sys.argv[1:])

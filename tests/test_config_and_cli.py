@@ -148,6 +148,30 @@ def test_train_cli_no_config_uses_flags():
     assert config.use_pallas is False
 
 
+def test_compilation_cache_opt_in(tmp_path, monkeypatch):
+    """CVDM_COMPILE_CACHE=<dir> enables the persistent XLA cache; unset is
+    a no-op. (Threshold dropped to 0 here so a toy jit populates it.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+
+    monkeypatch.delenv("CVDM_COMPILE_CACHE", raising=False)
+    assert maybe_enable_compilation_cache() is False
+
+    cache_dir = tmp_path / "xla_cache"
+    monkeypatch.setenv("CVDM_COMPILE_CACHE", str(cache_dir))
+    assert maybe_enable_compilation_cache() is True
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.jit(lambda x: x * 3 + 1)(jnp.ones((8, 8))).block_until_ready()
+        assert cache_dir.is_dir() and any(cache_dir.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def test_train_cli_use_pallas_flag():
     """--use_pallas reaches TrainConfig and the built model config."""
     from cv_diffusion_tpu.config import diffusion_config
