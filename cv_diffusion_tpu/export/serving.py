@@ -315,6 +315,7 @@ class ServingPipeline:
     @classmethod
     def from_package(cls, package_dir: str,
                      config: Optional[ServingConfig] = None,
+                     use_pallas: Optional[bool] = None,
                      **overrides) -> "ServingPipeline":
         """Build a pipeline from a serving package.
 
@@ -322,8 +323,11 @@ class ServingPipeline:
         package's own recorded image size and step count (model_config.json);
         keyword ``overrides`` replace individual fields, and None overrides
         are ignored (so CLIs can pass optional flags straight through).
+        ``use_pallas`` forwards to :func:`load_serving_package` (None =
+        its default, the Pallas attention kernel).
         """
-        model, schedule, params, meta = load_serving_package(package_dir)
+        model, schedule, params, meta = load_serving_package(
+            package_dir, use_pallas=use_pallas)
         if config is None:
             fields = dict(
                 image_size=model.config.image_size,

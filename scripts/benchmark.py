@@ -25,7 +25,8 @@ def benchmark_sampler(args):
 
     cfg = diffusion_config(args.variant, image_size=args.image_size,
                            num_inference_steps=args.num_steps,
-                           dtype=args.dtype)
+                           dtype=args.dtype,
+                           use_pallas=not args.no_pallas)
     model, schedule = create_model(cfg)
     variables = jax.jit(lambda k: init_model(model, k))(jax.random.key(0))
     jax.block_until_ready(variables)
@@ -106,6 +107,9 @@ def main():
                    choices=["checkpoint", "package"])
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_pallas", action="store_true",
+                   help="Force the XLA attention path (the Pallas kernel "
+                        "is the forward-only default, like bench.py)")
     args = p.parse_args()
     # load_pipeline compatibility (inference.py arg surface)
     args.no_pad = False

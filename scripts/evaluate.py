@@ -33,6 +33,9 @@ def main():
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--save_outputs", type=str, default=None,
                    help="Optionally write enhanced PNGs here")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="Force the XLA attention path (the Pallas kernel "
+                        "is the forward-only default, like serving packages)")
     args = p.parse_args()
 
     import jax
@@ -46,7 +49,8 @@ def main():
 
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
                                  num_inference_steps=args.num_steps,
-                                 dtype=args.dtype)
+                                 dtype=args.dtype,
+                                 use_pallas=not args.no_pallas)
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(

@@ -30,7 +30,8 @@ def load_pipeline(args):
             image_size=args.image_size,
             num_inference_steps=args.num_steps,
             keep_aspect=not args.no_pad, seed=args.seed,
-            batch_size=args.batch_size)
+            batch_size=args.batch_size,
+            use_pallas=False if getattr(args, "no_pallas", False) else None)
 
     cfg = ServingConfig(image_size=args.image_size or 256,
                         num_inference_steps=args.num_steps or 4,
@@ -46,7 +47,8 @@ def load_pipeline(args):
     model_cfg = diffusion_config(args.variant,
                                  image_size=cfg.image_size,
                                  num_inference_steps=cfg.num_inference_steps,
-                                 dtype=args.dtype)
+                                 dtype=args.dtype,
+                                 use_pallas=not args.no_pallas)
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(
@@ -93,6 +95,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=1,
                    help="Device batch for folder mode (pipe.batch); "
                         "1 = per-image (reference behavior)")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="Force the XLA attention path (the Pallas kernel "
+                        "is the forward-only default, like serving packages)")
     args = p.parse_args()
 
     pipe = load_pipeline(args)
