@@ -247,6 +247,11 @@ class TrainConfig:
     # with the device step.
     native_loader: Optional[bool] = None
     prefetch_batches: int = 2
+    # Cache the decoded training set in device HBM (uint8) and assemble/
+    # augment batches on device (data/device_cache.py). For HBM-sized
+    # datasets on hosts where decode or upload bandwidth bounds training;
+    # per-step host->device traffic drops to an index vector.
+    data_on_device: bool = False
     # Debugging: raise on NaN/Inf anywhere in the computation (the JAX
     # equivalent of a sanitizer pass; SURVEY §5 — the reference has none).
     debug_nans: bool = False

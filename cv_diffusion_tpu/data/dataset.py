@@ -254,6 +254,7 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
                        native: Optional[bool] = None, prefetch: int = 2,
                        num_threads: int = 0,
                        shard_by_process: Optional[bool] = None,
+                       device_cache: bool = False,
                        **dataset_kwargs):
     """Train + optional val loaders (``dataset.py:335-396``).
 
@@ -263,6 +264,13 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
     (``src/training/dataset.py:371-378``); ``False`` forces pure Python,
     ``True`` requires the library.  ``prefetch`` > 0 wraps the loaders so the
     next batch is assembled while the device runs the current step.
+
+    ``device_cache=True`` replaces the TRAIN loader with a
+    :class:`~cv_diffusion_tpu.data.device_cache.DeviceCacheLoader`: every
+    frame is decoded once, cached in device HBM as uint8, and batches are
+    gathered/normalized/augmented on device — for HBM-sized datasets on
+    hosts where decode or upload bandwidth would otherwise bound training.
+    The val loader stays host-side (deterministic center-crop eval).
 
     ``shard_by_process=None`` auto-shards the TRAIN file list across hosts
     when ``jax.process_count() > 1`` (each process feeds its local devices a
@@ -333,7 +341,14 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
         if do_shard:
             train_ds.images = shard_files_by_process(train_ds.images, pid,
                                                      n_procs)
-        if _native_for(train_ds.images):
+        if device_cache:
+            from .device_cache import DeviceCacheLoader
+            train_loader = DeviceCacheLoader(
+                [str(p) for p in train_ds.images], None, image_size,
+                batch_size, shuffle=True, drop_last=True,
+                gamma_range=train_ds.gamma_range,
+                noise_level_range=train_ds.noise_level_range, seed=seed)
+        elif _native_for(train_ds.images):
             train_loader = NativeSyntheticDataLoader(
                 [str(p) for p in train_ds.images], image_size, batch_size,
                 shuffle=True, drop_last=True,
@@ -353,8 +368,19 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
                 train_ds.low_images, pid, n_procs)
             train_ds.high_images = shard_files_by_process(
                 train_ds.high_images, pid, n_procs)
-        if _native_for(train_ds.low_images + train_ds.high_images,
-                       paired_ok=dataset_kwargs.get("paired", True)):
+        if device_cache:
+            if not dataset_kwargs.get("paired", True):
+                raise ValueError("device_cache requires paired=True "
+                                 "(random re-pairing happens per epoch on "
+                                 "the host)")
+            from .device_cache import DeviceCacheLoader
+            train_loader = DeviceCacheLoader(
+                [str(p) for p in train_ds.low_images],
+                [str(p) for p in train_ds.high_images],
+                image_size, batch_size, shuffle=True, drop_last=True,
+                augment=True, seed=seed)
+        elif _native_for(train_ds.low_images + train_ds.high_images,
+                         paired_ok=dataset_kwargs.get("paired", True)):
             train_loader = NativeDataLoader(
                 [str(p) for p in train_ds.low_images],
                 [str(p) for p in train_ds.high_images],
@@ -380,7 +406,10 @@ def create_dataloaders(train_root: str, val_root: Optional[str] = None,
             val_loader = DataLoader(val_ds, batch_size, shuffle=False)
 
     if prefetch > 0:
-        train_loader = PrefetchLoader(train_loader, prefetch)
+        # The device-cache loader needs no host prefetch thread: its "work"
+        # is an async jit dispatch, already overlapped by the device queue.
+        if not device_cache:
+            train_loader = PrefetchLoader(train_loader, prefetch)
         if val_loader is not None:
             val_loader = PrefetchLoader(val_loader, prefetch)
     return train_loader, val_loader

@@ -303,7 +303,8 @@ def train_model(train_data_dir: str, val_data_dir: Optional[str] = None,
         train_root=train_data_dir, val_root=val_data_dir,
         batch_size=config.batch_size, image_size=config.image_size,
         use_synthetic=use_synthetic, seed=config.seed,
-        native=config.native_loader, prefetch=config.prefetch_batches)
+        native=config.native_loader, prefetch=config.prefetch_batches,
+        device_cache=config.data_on_device)
 
     dtype = "bfloat16" if config.use_amp else "float32"
     model_cfg = diffusion_config(config.unet_variant, config.image_size,

@@ -39,6 +39,7 @@ _FLAG_TO_FIELD = {
     "resume": "resume_from",
     "seed": "seed",
     "use_pallas": "use_pallas",
+    "data_on_device": "data_on_device",
 }
 
 
@@ -129,6 +130,10 @@ def build_parser():
     p.add_argument("--use_pallas", action="store_true",
                    help="Pallas linear-attention kernel in the train step "
                         "(custom VJP: Pallas forward, analytic XLA backward)")
+    p.add_argument("--data_on_device", action="store_true",
+                   help="Cache the decoded training set in device HBM "
+                        "(uint8) and augment on device — for HBM-sized "
+                        "datasets on decode/upload-bound hosts")
     # Logging / checkpointing
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
