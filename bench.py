@@ -66,6 +66,13 @@ def main():
                    help="Benchmark the TRAINING step (fwd+bwd+optax+EMA, "
                         "donated, production path) instead of the sampler; "
                         "default batch 32")
+    p.add_argument("--remat", action="store_true",
+                   help="With --train: rematerialize blocks in the backward "
+                        "pass (UNetConfig.remat) — fits larger batches")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="With --train: micro-batches per optimizer update "
+                        "(lax.scan inside the step); batch must divide "
+                        "evenly. 1 = off")
     args = p.parse_args()
 
     if not _backend_reachable():
@@ -82,7 +89,8 @@ def main():
     if args.train:
         result = run_train(args.variant, args.image_size,
                            args.batch if args.batch is not None else 32,
-                           args.iters, args.warmup)
+                           args.iters, args.warmup, remat=args.remat,
+                           grad_accum=args.grad_accum)
         print(json.dumps(result))
         return
 
@@ -116,7 +124,8 @@ def run_sweep(args):
         print(json.dumps(result), flush=True)
 
 
-def run_train(variant, image_size, batch, iters, warmup):
+def run_train(variant, image_size, batch, iters, warmup, remat=False,
+              grad_accum=1):
     """Training-step throughput (the full production step: value_and_grad,
     optax update, EMA, donation, 64M scoped VMEM). Tracked per round like
     the sampler rows; reference equivalent: ``src/training/trainer.py``
@@ -126,10 +135,12 @@ def run_train(variant, image_size, batch, iters, warmup):
                                                        make_train_step)
 
     tcfg = TrainConfig(unet_variant=variant, image_size=image_size,
-                       batch_size=batch)
+                       batch_size=batch, remat=remat,
+                       grad_accum_steps=grad_accum)
     model, schedule = create_model(diffusion_config(variant,
                                                     image_size=image_size,
-                                                    dtype="bfloat16"))
+                                                    dtype="bfloat16",
+                                                    remat=remat))
     state = create_train_state(model, tcfg, jax.random.key(0))
     jax.block_until_ready(state.params)
     step = make_train_step(model, schedule, tcfg)
@@ -156,7 +167,9 @@ def run_train(variant, image_size, batch, iters, warmup):
     times.sort()
     p50 = times[len(times) // 2]
     return {
-        "metric": f"{variant}_train_step_{image_size}px_throughput",
+        "metric": (f"{variant}_train_step_{image_size}px_throughput"
+                   + ("_remat" if remat else "")
+                   + (f"_accum{grad_accum}" if grad_accum > 1 else "")),
         "value": round(batch / p50, 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,

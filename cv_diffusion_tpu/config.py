@@ -69,6 +69,13 @@ class UNetConfig:
     #     custom kernel. Training and init always use the two-pass path.
     fold_gn: bool = False
     act_quant: bool = False
+    #   remat: rematerialize every IRB / attention block under autodiff
+    #     (jax.checkpoint via nn.remat) — trades recompute FLOPs for
+    #     activation HBM so bigger train batches fit (SURVEY §7 "remat to
+    #     trade FLOPs for memory"; the reference has no equivalent — torch
+    #     would need explicit checkpoint_sequential). Forward-only graphs
+    #     are unaffected (checkpoint is an autodiff-time construct).
+    remat: bool = False
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -263,6 +270,18 @@ class TrainConfig:
     # noise-level 1.02x at small@256 b32 (mid-attention only). Serving and
     # every forward-only surface default the kernel ON (+3.9%, no VJP cost).
     use_pallas: bool = False
+    # Rematerialize blocks under autodiff (UNetConfig.remat): recompute
+    # IRB/attention internals in the backward pass instead of storing them —
+    # fits 2-4x larger train batches in HBM at a FLOPs cost. Off by default;
+    # turn on when the target batch OOMs (measured trade-off in
+    # BENCHMARKS.md §remat).
+    remat: bool = False
+    # Gradient accumulation: split each logical batch into this many
+    # micro-batches inside the jitted step (lax.scan), averaging the grads
+    # before one optimizer update. HBM holds one micro-batch of activations
+    # at a time, so batch_size can exceed what fits directly (composes with
+    # remat). 1 = off. batch_size must be divisible by grad_accum_steps.
+    grad_accum_steps: int = 1
     # Parallelism: mesh shape, e.g. (8,) pure-DP or (4, 2) data×spatial
     # (None = auto: largest DP mesh the batch divides). mesh_axes=None
     # derives names from the shape's rank (('data',) / ('data','spatial')).

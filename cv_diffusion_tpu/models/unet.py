@@ -50,20 +50,24 @@ class EfficientUNet(nn.Module):
 
     def _attention(self, name: str):
         cfg = self.config
-        if cfg.use_linear_attention:
-            return LinearAttentionBlock(
-                num_heads=cfg.num_attention_heads,
-                dim_head=cfg.attention_head_dim,
-                use_pallas=cfg.use_pallas, act_quant=cfg.act_quant,
-                dtype=self._dtype(), name=name)
-        return StandardAttentionBlock(
+        attn_cls = (LinearAttentionBlock if cfg.use_linear_attention
+                    else StandardAttentionBlock)
+        if cfg.remat:
+            # __call__(self, x, train) — `train` (index 2, counting self)
+            # is a static python bool.
+            attn_cls = nn.remat(attn_cls, static_argnums=(2,))
+        return attn_cls(
             num_heads=cfg.num_attention_heads,
             dim_head=cfg.attention_head_dim, use_pallas=cfg.use_pallas,
             act_quant=cfg.act_quant, dtype=self._dtype(), name=name)
 
     def _irb(self, out_ch: int, name: str):
         cfg = self.config
-        return InvertedResidualBlock(
+        irb_cls = InvertedResidualBlock
+        if cfg.remat:
+            # __call__(self, x, time_emb, train) — static `train` at index 3.
+            irb_cls = nn.remat(irb_cls, static_argnums=(3,))
+        return irb_cls(
             out_channels=out_ch,
             expansion_ratio=cfg.expansion_ratio,
             use_se=cfg.use_se,
@@ -98,10 +102,10 @@ class EfficientUNet(nn.Module):
         for level, out_ch in enumerate(channels):
             for block_idx in range(cfg.num_res_blocks):
                 h = self._irb(out_ch, f"enc_{level}_{block_idx}")(
-                    h, t_emb, train=train)
+                    h, t_emb, train)
                 if current_res in cfg.attention_resolutions:
                     h = self._attention(f"enc_attn_{level}_{block_idx}")(
-                        h, train=train)
+                        h, train)
             skips.append(h)
             if level < len(channels) - 1:
                 h = Downsample(dtype=dtype, act_quant=cfg.act_quant,
@@ -111,9 +115,9 @@ class EfficientUNet(nn.Module):
         # ------------------------------------------------------------------
         # Middle (``efficient_unet.py:466-480,572-575``)
         # ------------------------------------------------------------------
-        h = self._irb(channels[-1], "mid_block1")(h, t_emb, train=train)
-        h = self._attention("mid_attn")(h, train=train)
-        h = self._irb(channels[-1], "mid_block2")(h, t_emb, train=train)
+        h = self._irb(channels[-1], "mid_block1")(h, t_emb, train)
+        h = self._attention("mid_attn")(h, train)
+        h = self._irb(channels[-1], "mid_block2")(h, t_emb, train)
 
         # ------------------------------------------------------------------
         # Decoder (``efficient_unet.py:483-525,577-594``)
@@ -127,10 +131,10 @@ class EfficientUNet(nn.Module):
             h = jnp.concatenate([h, skip.astype(dtype)], axis=-1)
             for block_idx in range(cfg.num_res_blocks + 1):
                 h = self._irb(out_ch, f"dec_{level}_{block_idx}")(
-                    h, t_emb, train=train)
+                    h, t_emb, train)
                 if current_res in cfg.attention_resolutions:
                     h = self._attention(f"dec_attn_{level}_{block_idx}")(
-                        h, train=train)
+                        h, train)
             if return_features:
                 # per-decoder-level features (``efficient_unet.py:596-597``)
                 features.append(h)

@@ -146,22 +146,58 @@ def make_train_step(model: LowLightDiffusion, schedule: LCMSchedule,
     ``params_transform``: optional pure fn applied to the params INSIDE the
     loss (gradients flow through it) — the QAT fake-quant hook
     (``export.qat.make_qat_train_step``); None = identity.
+
+    ``config.grad_accum_steps > 1`` scans over micro-batches inside the same
+    jitted/donated program (one optimizer update per logical batch); composes
+    with remat and the mesh (each micro-batch stays data-sharded).
     """
+
+    accum = max(1, getattr(config, "grad_accum_steps", 1))
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, step_rng = jax.random.split(state.rng)
 
-        def loss_fn(params):
+        def loss_fn(params, micro_rng, micro_batch):
             if params_transform is not None:
                 params = params_transform(params)
             out = train_forward(model, schedule, {"params": params},
-                                step_rng, batch["low_light"],
-                                batch["normal_light"], train=True)
+                                micro_rng, micro_batch["low_light"],
+                                micro_batch["normal_light"], train=True)
             return diffusion_loss(out["noise_pred"], out["target"],
                                   config.loss_type)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, step_rng,
+                                                      batch)
+        else:
+            # Gradient accumulation: lax.scan over micro-batches so HBM
+            # holds one micro-batch of activations at a time; grads/loss
+            # are averaged before the single optimizer update (equivalent
+            # to one big-batch step up to the per-micro RNG streams).
+            lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if lead % accum:
+                raise ValueError(
+                    f"batch size {lead} not divisible by "
+                    f"grad_accum_steps={accum}")
+            micro = jax.tree_util.tree_map(
+                lambda a: a.reshape(accum, lead // accum, *a.shape[1:]),
+                batch)
+            micro_rngs = jax.random.split(step_rng, accum)
+
+            def body(carry, xs):
+                loss_sum, grad_sum = carry
+                mb_rng, mb = xs
+                l, g = jax.value_and_grad(loss_fn)(state.params, mb_rng, mb)
+                return (loss_sum + l,
+                        jax.tree_util.tree_map(jnp.add, grad_sum, g)), None
+
+            init = (jnp.zeros((), jnp.float32),
+                    jax.tree_util.tree_map(jnp.zeros_like, state.params))
+            (loss_sum, grad_sum), _ = jax.lax.scan(body, init,
+                                                   (micro_rngs, micro))
+            loss = loss_sum / accum
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
         new_params, new_opt_state = state.apply_gradients(grads)
         new_ema = state.ema_params
         if new_ema is not None:

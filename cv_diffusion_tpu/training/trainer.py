@@ -309,7 +309,8 @@ def train_model(train_data_dir: str, val_data_dir: Optional[str] = None,
     dtype = "bfloat16" if config.use_amp else "float32"
     model_cfg = diffusion_config(config.unet_variant, config.image_size,
                                  config.num_inference_steps, dtype=dtype,
-                                 use_pallas=config.use_pallas)
+                                 use_pallas=config.use_pallas,
+                                 remat=config.remat)
     model, schedule = create_model(model_cfg)
     trainer = Trainer(model, schedule, train_loader, val_loader, config)
     trainer.train()

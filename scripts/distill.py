@@ -58,6 +58,9 @@ def main():
                    help="Pallas linear-attention kernel for the teacher/"
                         "student/EMA forwards (custom VJP covers the "
                         "student's backward)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize blocks in the student's backward "
+                        "pass (jax.checkpoint) — fits larger batches")
     args = p.parse_args()
 
     import jax
@@ -69,7 +72,8 @@ def main():
 
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
                                  num_inference_steps=args.num_steps,
-                                 use_pallas=args.use_pallas)
+                                 use_pallas=args.use_pallas,
+                                 remat=args.remat)
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(

@@ -39,6 +39,8 @@ _FLAG_TO_FIELD = {
     "resume": "resume_from",
     "seed": "seed",
     "use_pallas": "use_pallas",
+    "remat": "remat",
+    "grad_accum": "grad_accum_steps",
     "data_on_device": "data_on_device",
 }
 
@@ -130,6 +132,14 @@ def build_parser():
     p.add_argument("--use_pallas", action="store_true",
                    help="Pallas linear-attention kernel in the train step "
                         "(custom VJP: Pallas forward, analytic XLA backward)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize IRB/attention blocks in the backward "
+                        "pass (jax.checkpoint): fits larger batches in HBM "
+                        "at a recompute-FLOPs cost")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="Micro-batches per optimizer update (lax.scan "
+                        "inside the jitted step); batch_size must divide "
+                        "evenly. 1 = off")
     p.add_argument("--data_on_device", action="store_true",
                    help="Cache the decoded training set in device HBM "
                         "(uint8) and augment on device — for HBM-sized "

@@ -196,3 +196,17 @@ def test_tpu_compiler_options_cpu_gated():
     assert tpu_compiler_options() is None
     assert all(isinstance(k, str) and isinstance(v, str)
                for k, v in TPU_COMPILER_OPTIONS.items())
+
+
+def test_train_cli_remat_flag():
+    """--remat reaches TrainConfig and the built model config."""
+    from cv_diffusion_tpu.config import diffusion_config
+
+    mod = _train_cli()
+    argv = ["--remat", "--variant", "tiny"]
+    args = mod.build_parser().parse_args(argv)
+    config, *_ = mod.resolve_config(args, argv)
+    assert config.remat is True
+    model_cfg = diffusion_config(config.unet_variant, config.image_size,
+                                 remat=config.remat)
+    assert model_cfg.unet.remat is True

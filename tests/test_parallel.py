@@ -389,3 +389,33 @@ def test_sharded_serving_fn_accepts_variables_dict():
              jnp.asarray(low))
     assert out.shape == (8, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_grad_accum_remat_train_step_on_mesh():
+    """grad_accum × remat × DP mesh compose: the sharded accumulated step
+    reproduces the single-device accumulated step (same RNG contract)."""
+    import dataclasses
+
+    cfg = diffusion_config("tiny", image_size=32, remat=True)
+    model, schedule = create_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    tcfg = TrainConfig(unet_variant="tiny", image_size=32, batch_size=8,
+                       epochs=1, grad_accum_steps=2)
+    batch = _host_batch()
+
+    state1 = create_train_state(model, tcfg, jax.random.key(0),
+                                steps_per_epoch=10, variables=variables)
+    step1 = make_train_step(model, schedule, tcfg, donate=False)
+    state1, m1 = step1(state1, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    mesh = make_mesh((4, 2))
+    state4 = create_train_state(model, tcfg, jax.random.key(0),
+                                steps_per_epoch=10, variables=variables)
+    step4 = make_train_step(model, schedule, tcfg, mesh=mesh, donate=False)
+    state4, m4 = step4(state4, shard_batch(mesh, batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-4)
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p4 = jax.tree_util.tree_leaves(state4.params)
+    for a, b in zip(p1, p4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

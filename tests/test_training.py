@@ -350,3 +350,64 @@ def test_ema_warmup_decay():
                      step=jnp.asarray(10**6, jnp.int32))
     np.testing.assert_allclose(np.asarray(out["w"]), 1.0 * 0.9999 + 2e-4,
                                rtol=1e-5)
+
+
+def test_grad_accum_matches_manual_average(tiny_setup):
+    """grad_accum_steps=2 must equal ONE optimizer update on the averaged
+    micro-batch grads, with the same per-micro RNG streams the step derives
+    internally (split(step_rng, accum))."""
+    import optax
+    from cv_diffusion_tpu.models.diffusion import (train_forward,
+                                                   diffusion_loss)
+
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg(batch_size=4, grad_accum_steps=2, use_ema=False)
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    batch = _batch(jax.random.key(1), b=4)
+
+    # Manual: replicate the step's RNG derivation contract.
+    _, step_rng = jax.random.split(state.rng)
+    micro_rngs = jax.random.split(step_rng, 2)
+
+    def loss_fn(params, mrng, mb):
+        out = train_forward(model, schedule, {"params": params}, mrng,
+                            mb["low_light"], mb["normal_light"], train=True)
+        return diffusion_loss(out["noise_pred"], out["target"],
+                              cfg.loss_type)
+
+    # Jit the manual grads: eager-vs-jit CPU numerics differ up to 2e-2 rel
+    # on GroupNorm grads (different reduction fusion), far above the real
+    # accum-vs-manual delta (~1e-5 rel, both jitted).
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    losses, grads = [], []
+    for i in range(2):
+        mb = {k: v[2 * i:2 * i + 2] for k, v in batch.items()}
+        l, g = vg(state.params, micro_rngs[i], mb)
+        losses.append(l)
+        grads.append(g)
+    mean_grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+    exp_loss = (float(losses[0]) + float(losses[1])) / 2
+
+    step = make_train_step(model, schedule, cfg, donate=False)
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1
+    np.testing.assert_allclose(float(metrics["loss"]), exp_loss, rtol=1e-4)
+    np.testing.assert_allclose(float(metrics["grad_norm"]),
+                               float(optax.global_norm(mean_grads)),
+                               rtol=1e-4)
+    exp_params, _ = state.apply_gradients(mean_grads)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4),
+        new_state.params, exp_params)
+
+
+def test_grad_accum_indivisible_batch_raises(tiny_setup):
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg(batch_size=3, grad_accum_steps=2, use_ema=False)
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_train_step(model, schedule, cfg, donate=False)
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, _batch(jax.random.key(1), b=3))

@@ -144,3 +144,41 @@ def test_fold_gn_matches_two_pass():
                                       fold_gn=True)
     y = unet_fold.apply(variables, x, t)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
+
+
+def test_remat_forward_and_grad_match():
+    """remat=True (jax.checkpoint per IRB/attention block) must be a pure
+    memory/FLOPs trade: identical param tree, and forward/gradients equal
+    to the non-remat model up to fusion-reorder rounding."""
+    unet = create_efficient_unet("tiny", image_size=32, in_channels=6)
+    unet_r = create_efficient_unet("tiny", image_size=32, in_channels=6,
+                                   remat=True)
+
+    variables = init_unet(unet, jax.random.key(0))
+    variables_r = init_unet(unet_r, jax.random.key(0))
+    # nn.remat must not change the parameter tree (names, shapes, values).
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, variables_r)
+
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 6))
+    t = jnp.asarray([5, 250], dtype=jnp.int32)
+    y = unet.apply(variables, x, t, train=True)
+    y_r = unet_r.apply(variables_r, x, t, train=True)
+    # checkpoint boundaries change XLA's fusion order → f32 reassociation
+    # noise (measured max |Δ| ≈ 5e-5 at tiny@32), not a semantic difference.
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y), atol=2e-4)
+
+    def loss(params, model):
+        out = model.apply(params, x, t, train=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=0),
+                static_argnums=1)(variables, unet)
+    g_r = jax.jit(jax.grad(loss, argnums=0),
+                  static_argnums=1)(variables_r, unet_r)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3),
+        g, g_r)
