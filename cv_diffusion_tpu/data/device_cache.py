@@ -159,6 +159,16 @@ class DeviceCacheLoader:
         if min(frame_hw) < image_size:
             raise ValueError(f"frames {frame_hw} smaller than crop "
                              f"{image_size}")
+        # Paired crops reuse the SAME top/left offsets on both blocks
+        # (paired_augment derives them from the low shape); dynamic_slice
+        # would silently clamp a differently-sized high block into
+        # misaligned windows, so mismatched low/high H/W must be an error.
+        if self._high is not None and self._high.shape[1:3] != frame_hw:
+            raise ValueError(
+                f"paired device cache needs matching low/high frame sizes: "
+                f"low {frame_hw}, high {self._high.shape[1:3]}; use a host "
+                f"loader for mixed-resolution pairs")
+        self._names = [Path(p).name for p in self.paths]
 
     def nbytes(self) -> int:
         """Device HBM held by the cache (for capacity planning)."""
@@ -190,5 +200,5 @@ class DeviceCacheLoader:
             yield {
                 "low_light": low,
                 "normal_light": high,
-                "filenames": [Path(self.paths[i]).name for i in idxs],
+                "filenames": [self._names[i] for i in idxs],
             }
