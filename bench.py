@@ -69,10 +69,23 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="With --train: rematerialize blocks in the backward "
                         "pass (UNetConfig.remat) — fits larger batches")
+    p.add_argument("--remat_policy", default="full",
+                   choices=("full", "conv"),
+                   help="With --remat: what checkpointed blocks save — "
+                        "'full' saves nothing; 'conv' saves QConv outputs "
+                        "and recomputes only elementwise work (traffic cut)")
+    p.add_argument("--remat_scope", default="all",
+                   choices=("all", "decoder"),
+                   help="With --remat: which blocks rematerialize "
+                        "('decoder' = mid + decoder, the widest activations)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="With --train: micro-batches per optimizer update "
                         "(lax.scan inside the step); batch must divide "
                         "evenly. 1 = off")
+    p.add_argument("--split_skip", action="store_true",
+                   help="Decoder concat-split rewrite (UNetConfig."
+                        "split_skip): first block per level consumes "
+                        "(upsampled, skip) without materializing the concat")
     args = p.parse_args()
 
     if not _backend_reachable():
@@ -90,13 +103,16 @@ def main():
         result = run_train(args.variant, args.image_size,
                            args.batch if args.batch is not None else 32,
                            args.iters, args.warmup, remat=args.remat,
-                           grad_accum=args.grad_accum)
+                           grad_accum=args.grad_accum,
+                           remat_policy=args.remat_policy,
+                           remat_scope=args.remat_scope)
         print(json.dumps(result))
         return
 
     batch = args.batch if args.batch is not None else 128
     result = run_config(args.variant, args.image_size, args.steps, batch,
-                        args.iters, args.warmup, args.dtype, args.params_dtype)
+                        args.iters, args.warmup, args.dtype, args.params_dtype,
+                        split_skip=args.split_skip)
     print(json.dumps(result))
 
 
@@ -125,7 +141,7 @@ def run_sweep(args):
 
 
 def run_train(variant, image_size, batch, iters, warmup, remat=False,
-              grad_accum=1):
+              grad_accum=1, remat_policy="full", remat_scope="all"):
     """Training-step throughput (the full production step: value_and_grad,
     optax update, EMA, donation, 64M scoped VMEM). Tracked per round like
     the sampler rows; reference equivalent: ``src/training/trainer.py``
@@ -140,7 +156,9 @@ def run_train(variant, image_size, batch, iters, warmup, remat=False,
     model, schedule = create_model(diffusion_config(variant,
                                                     image_size=image_size,
                                                     dtype="bfloat16",
-                                                    remat=remat))
+                                                    remat=remat,
+                                                    remat_policy=remat_policy,
+                                                    remat_scope=remat_scope))
     state = create_train_state(model, tcfg, jax.random.key(0))
     jax.block_until_ready(state.params)
     step = make_train_step(model, schedule, tcfg)
@@ -169,6 +187,10 @@ def run_train(variant, image_size, batch, iters, warmup, remat=False,
     return {
         "metric": (f"{variant}_train_step_{image_size}px_throughput"
                    + ("_remat" if remat else "")
+                   + (f"_{remat_policy}" if remat and remat_policy != "full"
+                      else "")
+                   + (f"_{remat_scope}" if remat and remat_scope != "all"
+                      else "")
                    + (f"_accum{grad_accum}" if grad_accum > 1 else "")),
         "value": round(batch / p50, 2),
         "unit": "images/sec/chip",
@@ -177,13 +199,13 @@ def run_train(variant, image_size, batch, iters, warmup, remat=False,
 
 
 def run_config(variant, image_size, steps, batch, iters, warmup, dtype,
-               params_dtype):
+               params_dtype, split_skip=False):
     # use_pallas: the fused linear-attention kernel is the shipped serving
     # default (whole-model +3.9% small@128, never slower — BENCHMARKS.md);
     # forward-only, so bench/serving enable it while training keeps XLA.
     cfg = diffusion_config(variant, image_size=image_size,
                            num_inference_steps=steps, dtype=dtype,
-                           use_pallas=True)
+                           use_pallas=True, split_skip=split_skip)
     model, schedule = create_model(cfg)
 
     # Keep every device op inside jit: eager dispatch is pathologically slow
@@ -228,7 +250,8 @@ def run_config(variant, image_size, steps, batch, iters, warmup, dtype,
     img_per_sec = batch / p50
 
     return {
-        "metric": f"{variant}_{steps}step_{image_size}px_enhance_throughput",
+        "metric": (f"{variant}_{steps}step_{image_size}px_enhance_throughput"
+                   + ("_splitskip" if split_skip else "")),
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),

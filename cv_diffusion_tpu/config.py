@@ -68,6 +68,12 @@ class UNetConfig:
     #     gn2_film_affine_gram) — removes the h1 HBM round trips without a
     #     custom kernel. Training and init always use the two-pass path.
     fold_gn: bool = False
+    #   split_skip: decoder graph rewrite — the first block per level
+    #     consumes (upsampled, skip) SPLIT instead of materializing their
+    #     channel concat (conv(concat(u,s)) ≡ conv_u(u)+conv_s(s); GN stats
+    #     combine from per-part partial sums). Pure rewrite: identical
+    #     params, init always concatenates. See BENCHMARKS.md §concat-split.
+    split_skip: bool = False
     act_quant: bool = False
     #   remat: rematerialize every IRB / attention block under autodiff
     #     (jax.checkpoint via nn.remat) — trades recompute FLOPs for
@@ -76,6 +82,20 @@ class UNetConfig:
     #     would need explicit checkpoint_sequential). Forward-only graphs
     #     are unaffected (checkpoint is an autodiff-time construct).
     remat: bool = False
+    #   remat_policy: what the checkpointed blocks SAVE.
+    #     "full" — save nothing (classic remat: max memory saving, max
+    #       recompute; measured 0.90x throughput at small@256 b32).
+    #     "conv" — save every QConv output (tagged via
+    #       jax.ad_checkpoint.checkpoint_name) and recompute only the
+    #       elementwise work between convs (GN stats/normalize, act, FiLM,
+    #       SE gating) in the backward — a TRAFFIC cut, not just a memory
+    #       cut: the cheap wide intermediates never round-trip HBM, while
+    #       the MXU outputs are never recomputed. See BENCHMARKS.md §remat.
+    remat_policy: str = "full"
+    #   remat_scope: which blocks are rematerialized. "all", or "decoder"
+    #     (mid + decoder only — the widest activations live there; the
+    #     encoder's are comparatively cheap to keep).
+    remat_scope: str = "all"
 
     @property
     def channels(self) -> Tuple[int, ...]:

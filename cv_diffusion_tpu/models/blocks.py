@@ -17,8 +17,8 @@ from flax import linen as nn
 
 from ..ops.attention import (linear_attention, standard_attention,
                              standard_attention_flash)
-from ..ops.norms import (gn_num_groups, gn2_film_affine_gram, group_norm,
-                         group_norm_film)
+from ..ops.norms import (concat_group_norm_parts, gn_num_groups,
+                         gn2_film_affine_gram, group_norm, group_norm_film)
 from ..ops.qconv import QConv
 
 Dtype = Any
@@ -131,6 +131,16 @@ class DepthwiseSeparableConv(nn.Module):
         return x
 
 
+def _conv1x1(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Plain 1×1 NHWC conv on an explicit [1,1,I,O] kernel slice (keeps the
+    conv form — XLA fuses conv epilogues better than reshaped dots on TPU;
+    the 1×1-as-Dense rewrite measured 2× slower whole-model)."""
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, kernel, (1, 1), "VALID",
+                                        dimension_numbers=dn)
+
+
 class InvertedResidualBlock(nn.Module):
     """MobileNetV3-style inverted residual with FiLM time conditioning.
 
@@ -153,8 +163,29 @@ class InvertedResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
-        in_channels = x.shape[-1]
+                 train: bool = False,
+                 skip_input: jnp.ndarray = None) -> jnp.ndarray:
+        # Concat-free decoder entry (UNetConfig.split_skip): when the UNet
+        # passes the skip tensor separately, GN1 + act + expand + the 1×1
+        # residual conv all run SPLIT across the would-be concat boundary —
+        # conv(concat(u, s)) ≡ conv_u(u) + conv_s(s) and the GN statistics
+        # combine from per-part partial sums (ops/norms.
+        # concat_group_norm_parts) — so the concatenated tensor (the graph's
+        # largest at 256²) is never materialized.  Params are IDENTICAL to
+        # the concat path (init always concatenates), so checkpoints are
+        # shared and the knob is a pure graph rewrite.
+        if skip_input is not None:
+            split_ok = (self.stride == 1 and not self.act_quant
+                        and not self.use_pallas_irb and not self.fold_gn
+                        and not self.is_initializing()
+                        and x.shape[-1] + skip_input.shape[-1]
+                        != self.out_channels)
+            if not split_ok:
+                x = jnp.concatenate([x, skip_input.astype(x.dtype)], axis=-1)
+                skip_input = None
+        split_u_ch = x.shape[-1]
+        in_channels = x.shape[-1] + (0 if skip_input is None
+                                     else skip_input.shape[-1])
         hidden = int(in_channels * self.expansion_ratio)
         use_residual = self.stride == 1 and in_channels == self.out_channels
         residual = x
@@ -200,26 +231,43 @@ class InvertedResidualBlock(nn.Module):
                 kw["wskip"] = p["skip"]["kernel"][0, 0]
             return fused_irb_v2(x, **kw)
 
-        h = GroupNorm(name="norm1")(x)
-        h = activation(h, self.quantization_friendly)
+        fold = False
+        if skip_input is not None:
+            # Split path: GN over the virtual concat via combined partial
+            # sums; normalize+act fuse into each branch's 1×1 conv; the two
+            # partial products sum.  Same params, never the concat.
+            p = self.variables["params"]
+            u_hat, s_hat = concat_group_norm_parts(
+                x, skip_input, p["norm1"]["scale"], p["norm1"]["bias"],
+                gn_num_groups(in_channels))
+            u_hat = activation(u_hat, self.quantization_friendly)
+            s_hat = activation(s_hat, self.quantization_friendly)
+            wexp = p["expand"]["kernel"].astype(self.dtype)  # [1,1,C,hidden]
+            h = (_conv1x1(u_hat.astype(self.dtype), wexp[:, :, :split_u_ch])
+                 + _conv1x1(s_hat.astype(self.dtype),
+                            wexp[:, :, split_u_ch:]))
+        else:
+            h = GroupNorm(name="norm1")(x)
+            h = activation(h, self.quantization_friendly)
 
-        # Graph-level inference fold (fold_gn): GN2⊕FiLM statistics of the
-        # expand output come from the augmented Gram of x̂ (gn2_film_affine_
-        # gram), so the 4×-wide h1 is consumed as a pure elementwise affine
-        # in the conv epilogue instead of round-tripping HBM three times
-        # (write + stats read + normalize read).  Same math; training/init
-        # keep the two-pass autodiff path.
-        fold = (self.fold_gn and not train and not self.act_quant
-                and not self.is_initializing())
-        if fold:
-            wexp = self.variables["params"]["expand"]["kernel"][0, 0]
-            a2, b2 = gn2_film_affine_gram(
-                h, wexp, gn_scale, gn_bias, film_scale, film_shift,
-                gn_num_groups(hidden))
+            # Graph-level inference fold (fold_gn): GN2⊕FiLM statistics of
+            # the expand output come from the augmented Gram of x̂
+            # (gn2_film_affine_gram), so the 4×-wide h1 is consumed as a
+            # pure elementwise affine in the conv epilogue instead of
+            # round-tripping HBM three times (write + stats read +
+            # normalize read).  Same math; training/init keep the two-pass
+            # autodiff path.
+            fold = (self.fold_gn and not train and not self.act_quant
+                    and not self.is_initializing())
+            if fold:
+                wexp = self.variables["params"]["expand"]["kernel"][0, 0]
+                a2, b2 = gn2_film_affine_gram(
+                    h, wexp, gn_scale, gn_bias, film_scale, film_shift,
+                    gn_num_groups(hidden))
 
-        h = QConv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
-                  act_quant=self.act_quant, act_bound=bound6,
-                  name="expand")(h)
+            h = QConv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                      act_quant=self.act_quant, act_bound=bound6,
+                      name="expand")(h)
 
         if fold:
             bshape = (h.shape[0], 1, 1, hidden)
@@ -249,7 +297,14 @@ class InvertedResidualBlock(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
 
-        if not use_residual and in_channels != self.out_channels:
+        if skip_input is not None:
+            # split 1×1 residual projection over the virtual concat
+            wsk = self.variables["params"]["skip"]["kernel"].astype(
+                self.dtype)
+            h = h + (_conv1x1(x.astype(self.dtype), wsk[:, :, :split_u_ch])
+                     + _conv1x1(skip_input.astype(self.dtype),
+                                wsk[:, :, split_u_ch:]))
+        elif not use_residual and in_channels != self.out_channels:
             residual = QConv(self.out_channels, (1, 1),
                              strides=(self.stride, self.stride),
                              use_bias=False, dtype=self.dtype,

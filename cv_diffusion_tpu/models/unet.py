@@ -48,14 +48,36 @@ class EfficientUNet(nn.Module):
     def _dtype(self):
         return jnp.dtype(self.config.dtype)
 
+    def _remat_here(self, name: str) -> bool:
+        cfg = self.config
+        if not cfg.remat:
+            return False
+        if cfg.remat_scope == "all":
+            return True
+        if cfg.remat_scope == "decoder":
+            # the widest activations: mid + decoder (incl. final upsamples)
+            return name.startswith(("mid", "dec", "up"))
+        raise ValueError(f"Unknown remat_scope: {cfg.remat_scope!r}")
+
+    def _remat_policy(self):
+        cfg = self.config
+        if cfg.remat_policy == "full":
+            return None      # save nothing — classic checkpoint
+        if cfg.remat_policy == "conv":
+            # save the tagged QConv outputs (ops/qconv.py); recompute only
+            # the elementwise work between convs in the backward
+            return jax.checkpoint_policies.save_only_these_names("conv_out")
+        raise ValueError(f"Unknown remat_policy: {cfg.remat_policy!r}")
+
     def _attention(self, name: str):
         cfg = self.config
         attn_cls = (LinearAttentionBlock if cfg.use_linear_attention
                     else StandardAttentionBlock)
-        if cfg.remat:
+        if self._remat_here(name):
             # __call__(self, x, train) — `train` (index 2, counting self)
             # is a static python bool.
-            attn_cls = nn.remat(attn_cls, static_argnums=(2,))
+            attn_cls = nn.remat(attn_cls, static_argnums=(2,),
+                                policy=self._remat_policy())
         return attn_cls(
             num_heads=cfg.num_attention_heads,
             dim_head=cfg.attention_head_dim, use_pallas=cfg.use_pallas,
@@ -64,9 +86,11 @@ class EfficientUNet(nn.Module):
     def _irb(self, out_ch: int, name: str):
         cfg = self.config
         irb_cls = InvertedResidualBlock
-        if cfg.remat:
-            # __call__(self, x, time_emb, train) — static `train` at index 3.
-            irb_cls = nn.remat(irb_cls, static_argnums=(3,))
+        if self._remat_here(name):
+            # __call__(self, x, time_emb, train, skip_input) — static
+            # `train` at index 3.
+            irb_cls = nn.remat(irb_cls, static_argnums=(3,),
+                               policy=self._remat_policy())
         return irb_cls(
             out_channels=out_ch,
             expansion_ratio=cfg.expansion_ratio,
@@ -127,11 +151,20 @@ class EfficientUNet(nn.Module):
             if level > 0:
                 h = Upsample(dtype=dtype, act_quant=cfg.act_quant,
                              name=f"up_{level - 1}")(h)
-            skip = skips.pop()
-            h = jnp.concatenate([h, skip.astype(dtype)], axis=-1)
+            skip = skips.pop().astype(dtype)
+            if not cfg.split_skip:
+                h = jnp.concatenate([h, skip], axis=-1)
             for block_idx in range(cfg.num_res_blocks + 1):
-                h = self._irb(out_ch, f"dec_{level}_{block_idx}")(
-                    h, t_emb, train)
+                if cfg.split_skip and block_idx == 0:
+                    # concat-free entry: the first block gets the skip
+                    # SPLIT (InvertedResidualBlock.skip_input) so the
+                    # level's largest tensor — the channel concat — is
+                    # never materialized.
+                    h = self._irb(out_ch, f"dec_{level}_0")(
+                        h, t_emb, train, skip)
+                else:
+                    h = self._irb(out_ch, f"dec_{level}_{block_idx}")(
+                        h, t_emb, train)
                 if current_res in cfg.attention_resolutions:
                     h = self._attention(f"dec_attn_{level}_{block_idx}")(
                         h, train)

@@ -67,6 +67,60 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return out.astype(orig_dtype)
 
 
+def concat_group_norm_parts(u: jnp.ndarray, s: jnp.ndarray,
+                            scale: jnp.ndarray, bias: jnp.ndarray,
+                            num_groups: int, eps: float = 1e-5
+                            ) -> tuple:
+    """GroupNorm of ``concat([u, s], -1)`` applied to each part WITHOUT
+    materializing the concatenated tensor.
+
+    The decoder's first block per level reads ``concat(upsampled, skip)``
+    (reference ``efficient_unet.py:483-525``); at 256² that concat is the
+    single largest tensor in the graph, and GN is the op that forces it to
+    exist (its group statistics span the concat boundary, so groups cannot
+    simply be split between the two inputs — e.g. small's 320-channel level
+    has group size 10, straddling the 192/128 boundary).  Instead the
+    statistics are assembled from per-channel partial sums of each part —
+    sum is associative, so the result equals ``group_norm(concat(u, s))``
+    up to reduction-order float noise — and the normalize stays elementwise
+    per part, fusing into whatever consumes it (the split expand conv).
+
+    Returns ``(û, ŝ)``: the two normalized+affine slices, original dtypes.
+    """
+    cu, cs = u.shape[-1], s.shape[-1]
+    c = cu + cs
+    assert c % num_groups == 0, (c, num_groups)
+    gs = c // num_groups
+    f32 = jnp.float32
+    spatial = tuple(range(1, u.ndim - 1))
+    n = float(np.prod([u.shape[a] for a in spatial]) * gs)
+    # One fused pass over each part: E[x], E[x²] accumulated in f32.
+    sums = jnp.concatenate(
+        [jnp.sum(u, axis=spatial, dtype=f32),
+         jnp.sum(s, axis=spatial, dtype=f32)], axis=-1)     # [B, C]
+    sums2 = jnp.concatenate(
+        [jnp.sum(jnp.square(u.astype(f32)), axis=spatial),
+         jnp.sum(jnp.square(s.astype(f32)), axis=spatial)], axis=-1)
+    gsum = sums.reshape(-1, num_groups, gs).sum(-1)          # [B, G]
+    gsum2 = sums2.reshape(-1, num_groups, gs).sum(-1)
+    mean = gsum / n
+    var = jnp.maximum(gsum2 / n - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    # group → channel broadcast, then split back at the concat boundary
+    mean_c = jnp.repeat(mean, gs, axis=-1)                   # [B, C]
+    rstd_c = jnp.repeat(rstd, gs, axis=-1)
+
+    def norm_part(x, lo, hi):
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (hi - lo,)
+        m = mean_c[:, lo:hi].reshape(bshape)
+        r = rstd_c[:, lo:hi].reshape(bshape)
+        g = scale[lo:hi].astype(f32)
+        b = bias[lo:hi].astype(f32)
+        return ((x.astype(f32) - m) * r * g + b).astype(x.dtype)
+
+    return norm_part(u, 0, cu), norm_part(s, cu, c)
+
+
 def gn2_film_affine_gram(xhat: jnp.ndarray, wexp: jnp.ndarray,
                          scale: jnp.ndarray, bias: jnp.ndarray,
                          film_scale: jnp.ndarray, film_shift: jnp.ndarray,

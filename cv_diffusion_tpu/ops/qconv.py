@@ -33,6 +33,7 @@ from typing import Any, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 PaddingLike = Union[str, Sequence[Tuple[int, int]]]
@@ -69,7 +70,11 @@ class QConv(nn.Module):
             y = self._int8_conv(x, kernel)
         if bias is not None:
             y = y + bias.astype(y.dtype)
-        return y
+        # Offered-for-saving under UNetConfig.remat_policy="conv"
+        # (jax.checkpoint_policies.save_only_these_names): the backward then
+        # recomputes only the elementwise work between convs. An identity
+        # outside jax.checkpoint.
+        return checkpoint_name(y, "conv_out")
 
     # ------------------------------------------------------------------
     def _conv(self, x, kernel, ptype=None):

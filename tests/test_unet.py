@@ -94,6 +94,72 @@ def test_time_conditioning_changes_output():
     assert float(jnp.abs(y1 - y2).max()) > 1e-4
 
 
+def test_split_skip_matches_concat():
+    """split_skip is a pure graph rewrite: same params (init concatenates),
+    same outputs as the concat decoder — the only differences are float
+    reduction-order noise in the GN statistics."""
+    unet = create_efficient_unet("tiny", image_size=32, in_channels=6)
+    variables = init_unet(unet, jax.random.key(0))
+    unet_split = create_efficient_unet("tiny", image_size=32, in_channels=6,
+                                       split_skip=True)
+    # identical param trees (split mode initializes through the concat path)
+    shapes = jax.tree_util.tree_map(jnp.shape, variables)
+    shapes_split = jax.tree_util.tree_map(
+        jnp.shape, init_unet(unet_split, jax.random.key(0)))
+    assert shapes == shapes_split
+
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 6))
+    t = jnp.asarray([10, 900], dtype=jnp.int32)
+    y = unet.apply(variables, x, t)
+    y_split = unet_split.apply(variables, x, t)
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_split_skip_grads_match():
+    """The rewrite must also be autodiff-equivalent (it may be enabled for
+    training if it measures faster there)."""
+    unet = create_efficient_unet("tiny", image_size=16, in_channels=6)
+    variables = init_unet(unet, jax.random.key(0))
+    unet_split = create_efficient_unet("tiny", image_size=16, in_channels=6,
+                                       split_skip=True)
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 6))
+    t = jnp.asarray([50], dtype=jnp.int32)
+
+    def loss(m):
+        return lambda v: jnp.mean(m.apply(v, x, t) ** 2)
+
+    g = jax.grad(loss(unet))(variables)
+    g_split = jax.grad(loss(unet_split))(variables)
+    flat = jax.tree_util.tree_leaves(g)
+    flat_split = jax.tree_util.tree_leaves(g_split)
+    for a, b in zip(flat, flat_split):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_concat_group_norm_parts_matches_group_norm():
+    """Unit identity: combined-partial-sum GN over a virtual concat equals
+    group_norm over the real concat, including groups that straddle the
+    boundary (192+128=320 ch → 32 groups of 10: the straddling case from
+    the small variant's level-2 decoder)."""
+    from cv_diffusion_tpu.ops.norms import (concat_group_norm_parts,
+                                            gn_num_groups, group_norm)
+    rng = np.random.default_rng(0)
+    for cu, cs in ((192, 128), (8, 8), (24, 12)):
+        u = jnp.asarray(rng.normal(size=(2, 6, 5, cu)), jnp.float32)
+        s = jnp.asarray(rng.normal(size=(2, 6, 5, cs)), jnp.float32)
+        c = cu + cs
+        g = gn_num_groups(c)
+        scale = jnp.asarray(rng.uniform(0.5, 2.0, (c,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+        ref = group_norm(jnp.concatenate([u, s], -1), scale, bias, g)
+        u_hat, s_hat = concat_group_norm_parts(u, s, scale, bias, g)
+        got = jnp.concatenate([u_hat, s_hat], -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_bf16_forward():
     unet = create_efficient_unet("tiny", image_size=32, in_channels=6,
                                  dtype="bfloat16")
@@ -146,13 +212,20 @@ def test_fold_gn_matches_two_pass():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
 
 
-def test_remat_forward_and_grad_match():
+@pytest.mark.parametrize("remat_kw", [
+    {},                                            # classic: full, all
+    {"remat_policy": "conv"},                      # save conv outputs
+    {"remat_scope": "decoder"},                    # mid+decoder only
+    {"remat_policy": "conv", "remat_scope": "decoder"},
+])
+def test_remat_forward_and_grad_match(remat_kw):
     """remat=True (jax.checkpoint per IRB/attention block) must be a pure
     memory/FLOPs trade: identical param tree, and forward/gradients equal
-    to the non-remat model up to fusion-reorder rounding."""
+    to the non-remat model up to fusion-reorder rounding — for every
+    (remat_policy, remat_scope) combination."""
     unet = create_efficient_unet("tiny", image_size=32, in_channels=6)
     unet_r = create_efficient_unet("tiny", image_size=32, in_channels=6,
-                                   remat=True)
+                                   remat=True, **remat_kw)
 
     variables = init_unet(unet, jax.random.key(0))
     variables_r = init_unet(unet_r, jax.random.key(0))
