@@ -192,7 +192,8 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
             num_inference_steps: Optional[int] = None,
             return_intermediate: bool = False,
             init_noise: Optional[jnp.ndarray] = None,
-            step_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            step_noise: Optional[jnp.ndarray] = None,
+            deterministic: bool = False) -> jnp.ndarray:
     """LCM sampling as one ``lax.scan`` graph
     (``low_light_diffusion.py:177-248`` — minus the per-step host syncs).
 
@@ -201,6 +202,11 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
       low_light: [B, H, W, 3] condition in [-1, 1].
       init_noise / step_noise: optional explicit noise tensors
         ([B,H,W,3] and [steps,B,H,W,3]) for cross-framework parity harnesses.
+      deterministic: renoise-free DDIM-style transitions
+        (``scheduler.ddim_step``) — quality then improves monotonically with
+        step count instead of peaking at ~4 steps, which is what gives a
+        many-step teacher distillation headroom. Initial latents still come
+        from ``rng``/``init_noise``; ``step_noise`` is unused.
 
     Returns [B, H, W, 3] in [-1, 1], or an ``EnhanceOutput`` when
       ``return_intermediate=True``.
@@ -233,8 +239,12 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
         t, prev_t, noise = xs
         t_vec = jnp.full((batch,), t, dtype=jnp.int32)
         noise_pred = model.apply(variables, latents, low, t_vec, train=False)
-        prev_sample, _ = sched.step(schedule, noise_pred, t, prev_t, latents,
-                                    noise=noise)
+        if deterministic:
+            prev_sample, _ = sched.ddim_step(schedule, noise_pred, t, prev_t,
+                                             latents)
+        else:
+            prev_sample, _ = sched.step(schedule, noise_pred, t, prev_t,
+                                        latents, noise=noise)
         return prev_sample, prev_sample if return_intermediate else None
 
     latents, intermediates = jax.lax.scan(

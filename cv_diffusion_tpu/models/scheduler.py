@@ -223,6 +223,46 @@ def step(schedule: LCMSchedule, model_output: jnp.ndarray,
     return prev_sample, x0
 
 
+def ddim_step(schedule: LCMSchedule, model_output: jnp.ndarray,
+              timestep: jnp.ndarray, prev_timestep: jnp.ndarray,
+              sample: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One *deterministic* (η=0 DDIM-style) denoising step.
+
+    The reference's LCM step renoises x̂₀ with FRESH noise at every grid
+    point (``src/models/lcm_scheduler.py:236-246``) — which is why its
+    step-quality curve peaks at ~4 steps: extra steps inject extra noise
+    that later steps must re-remove.  This variant transfers to the previous
+    grid point along the model's own noise direction instead:
+
+        ε̂     = (x_t − √ᾱ_t·x̂₀) / √(1−ᾱ_t)
+        x_prev = √ᾱ_prev·x̂₀ + √(1−ᾱ_prev)·ε̂
+
+    so quality improves monotonically with step count, giving a many-step
+    teacher genuine headroom for distillation (the reference's distillation
+    premise, ``src/models/low_light_diffusion.py:284-408``).  Deriving ε̂
+    from x̂₀ (rather than reusing ``model_output``) keeps it correct for
+    both prediction types AND consistent with ``clip_pred_x0``.
+
+    Returns ``(prev_sample, pred_original_sample)``.
+    """
+    x0 = pred_original_sample(schedule, model_output, timestep, sample)
+
+    acp = schedule.alphas_cumprod.astype(sample.dtype)
+    alpha_prod_t = acp[timestep]
+    # Under zero-terminal-SNR ᾱ can hit 0 at the top of the grid but never
+    # 1, so √(1−ᾱ_t) is safe; clamp anyway for non-rescaled schedules where
+    # ᾱ₀ → 1 would make the quotient explode at the final grid point.
+    eps = (sample - jnp.sqrt(alpha_prod_t) * x0) / jnp.sqrt(
+        jnp.maximum(1.0 - alpha_prod_t, 1e-8))
+    alpha_prod_prev = jnp.where(
+        prev_timestep > 0, acp[prev_timestep],
+        schedule.final_alpha_cumprod.astype(sample.dtype))
+    transferred = (jnp.sqrt(alpha_prod_prev) * x0 +
+                   jnp.sqrt(1.0 - alpha_prod_prev) * eps)
+    prev_sample = jnp.where(prev_timestep == 0, x0, transferred)
+    return prev_sample, x0
+
+
 def timestep_scan_arrays(num_inference_steps: int,
                          config: SchedulerConfig = SchedulerConfig()
                          ) -> Tuple[np.ndarray, np.ndarray]:

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--no_pallas", action="store_true",
                    help="Force the XLA attention path (the Pallas kernel "
                         "is the forward-only default, like serving packages)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="Renoise-free DDIM-style sampling (quality improves "
+                        "monotonically with --num_steps; the stochastic LCM "
+                        "sampler peaks at ~4 steps)")
     args = p.parse_args()
 
     import jax
@@ -69,7 +73,8 @@ def main():
     from cv_diffusion_tpu.utils.compile_opts import tpu_compiler_options
     enh = jax.jit(lambda v, k, x: enhance(model, schedule, {"params": v}, k,
                                           x,
-                                          num_inference_steps=args.num_steps),
+                                          num_inference_steps=args.num_steps,
+                                          deterministic=args.deterministic),
                   compiler_options=tpu_compiler_options())
 
     def per_image_metrics(out, target):

@@ -97,6 +97,42 @@ def test_enhance_deterministic_given_key(tiny_model):
     assert float(jnp.abs(a - c).max()) > 1e-5
 
 
+def test_enhance_deterministic_mode(tiny_model):
+    """deterministic=True: same init latents → same output regardless of the
+    step_noise tensor (no renoise), equals an explicit ddim_step loop, and
+    differs from the stochastic sampler under the same key."""
+    model, schedule, variables = tiny_model
+    low, _ = _batch(jax.random.key(3), b=1)
+    steps = 4
+    init_noise = jax.random.normal(jax.random.key(10), (1, 32, 32, 3))
+    a = enhance(model, schedule, variables, jax.random.key(0), low,
+                num_inference_steps=steps, init_noise=init_noise,
+                deterministic=True)
+    b = enhance(model, schedule, variables, jax.random.key(99), low,
+                num_inference_steps=steps, init_noise=init_noise,
+                step_noise=jnp.ones((steps, 1, 32, 32, 3)),
+                deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ts = sched.lcm_timesteps(steps)
+    prevs = sched.prev_timesteps(ts)
+    latents = init_noise.astype(jnp.dtype(model.config.unet.dtype))
+    for t, pt in zip(ts, prevs):
+        tv = jnp.full((1,), t, dtype=jnp.int32)
+        eps = model.apply(variables, latents, low.astype(latents.dtype), tv,
+                          train=False)
+        latents, _ = sched.ddim_step(schedule, eps, jnp.asarray(t),
+                                     jnp.asarray(pt), latents)
+    looped = jnp.clip(latents, -1, 1)
+    np.testing.assert_allclose(np.asarray(a, dtype=np.float32),
+                               np.asarray(looped, dtype=np.float32),
+                               atol=5e-4)
+
+    stoch = enhance(model, schedule, variables, jax.random.key(0), low,
+                    num_inference_steps=steps, init_noise=init_noise)
+    assert float(jnp.abs(a - stoch).max()) > 1e-5
+
+
 def test_enhance_scan_matches_python_loop(tiny_model):
     """The scanned sampler must equal an explicit per-step loop."""
     model, schedule, variables = tiny_model
