@@ -149,13 +149,15 @@ class DeviceCacheLoader:
         self._seed = seed
         self._epoch = 0
 
-        # Decode on host, upload once. uint8 keeps the upload (and HBM
-        # footprint) at 1/4 of f32; normalization happens on device.
-        self._low = jax.device_put(load_frames(self.paths))
-        self._high = (None if self.synthetic
-                      else jax.device_put(load_frames(
-                          [str(p) for p in high_paths])))
-        frame_hw = self._low.shape[1:3]
+        # Decode on host and validate BEFORE uploading: at the axon tunnel's
+        # ~9 MB/s a GB-scale cache takes minutes to ship, so every shape
+        # check must fire on the host-side numpy blocks, not after
+        # device_put.  uint8 keeps the upload (and HBM footprint) at 1/4 of
+        # f32; normalization happens on device.
+        low_np = load_frames(self.paths)
+        high_np = (None if self.synthetic
+                   else load_frames([str(p) for p in high_paths]))
+        frame_hw = low_np.shape[1:3]
         if min(frame_hw) < image_size:
             raise ValueError(f"frames {frame_hw} smaller than crop "
                              f"{image_size}")
@@ -163,11 +165,13 @@ class DeviceCacheLoader:
         # (paired_augment derives them from the low shape); dynamic_slice
         # would silently clamp a differently-sized high block into
         # misaligned windows, so mismatched low/high H/W must be an error.
-        if self._high is not None and self._high.shape[1:3] != frame_hw:
+        if high_np is not None and high_np.shape[1:3] != frame_hw:
             raise ValueError(
                 f"paired device cache needs matching low/high frame sizes: "
-                f"low {frame_hw}, high {self._high.shape[1:3]}; use a host "
+                f"low {frame_hw}, high {high_np.shape[1:3]}; use a host "
                 f"loader for mixed-resolution pairs")
+        self._low = jax.device_put(low_np)
+        self._high = None if high_np is None else jax.device_put(high_np)
         self._names = [Path(p).name for p in self.paths]
 
     def nbytes(self) -> int:

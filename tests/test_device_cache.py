@@ -103,6 +103,19 @@ def test_augmented_crops_are_source_windows(paired_dir):
                                np.asarray(batch["normal_light"]), atol=1e-6)
 
 
+def test_rejects_mismatched_pair_sizes(tmp_path, paired_dir):
+    """Mismatched low/high frame H/W must fail loudly (and host-side,
+    before any upload): paired crops reuse the low block's offsets."""
+    lows, _ = _paths(paired_dir)  # 40x56 frames
+    big = []
+    for i in range(len(lows)):
+        p = tmp_path / f"hi_{i:02d}.png"
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(p)
+        big.append(str(p))
+    with pytest.raises(ValueError, match="matching low/high frame sizes"):
+        DeviceCacheLoader(lows, big, image_size=32, batch_size=4)
+
+
 def test_synthetic_mode(paired_dir):
     _, highs = _paths(paired_dir)
     loader = DeviceCacheLoader(highs, None, image_size=32, batch_size=4,
