@@ -84,22 +84,32 @@ def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
 def export_stablehlo(model: LowLightDiffusion, schedule: LCMSchedule,
                      params, batch_size: int = 1,
                      num_inference_steps: int = 4,
-                     path: Optional[str] = None) -> bytes:
+                     path: Optional[str] = None,
+                     dynamic_batch: bool = False) -> bytes:
     """Serialize the jitted sampler to portable StableHLO bytes.
 
     The TPU equivalent of ``export_to_onnx`` (``onnx_export.py:64-175``) —
     verified re-loadable, like the reference's checker pass.
+
+    ``dynamic_batch=True`` exports with a *symbolic* leading batch dimension
+    (``jax.export`` shape polymorphism) — one artifact serves any batch
+    size, matching the reference's dynamic ONNX batch axes
+    (``onnx_export.py:143-147``).  The fixed-batch default stays because a
+    static-shape graph gives the TPU compiler the tightest tiling; dynamic
+    artifacts re-specialize per concrete batch at call time.
     """
     from jax import export as jexport
 
     size = model.config.image_size
     fn = make_sample_fn(model, schedule, num_inference_steps)
     key_data = jax.random.key_data(jax.random.key(0))
+    batch_dim = (jexport.symbolic_shape("b")[0] if dynamic_batch
+                 else batch_size)
     args = (
         jax.tree_util.tree_map(
             lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params),
         jax.ShapeDtypeStruct(key_data.shape, key_data.dtype),
-        jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch_dim, size, size, 3), jnp.float32),
     )
     exported = jexport.export(jax.jit(fn))(*args)
     blob = exported.serialize()
@@ -129,7 +139,8 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
                            quantize: str = "none",
                            include_graph: bool = False,
                            batch_size: int = 1,
-                           act_scales=None) -> Dict[str, str]:
+                           act_scales=None,
+                           dynamic_batch: bool = False) -> Dict[str, str]:
     """Write a self-contained deployment package
     (``create_android_package``, ``android_pipeline.py:460-521``):
 
@@ -174,8 +185,8 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
         "model": json.loads(to_json(model_cfg_out)),
         "num_inference_steps": num_inference_steps,
         "quantization": codec,
-        "input": [batch_size, model.config.image_size,
-                  model.config.image_size, 3],
+        "input": ["dynamic" if dynamic_batch else batch_size,
+                  model.config.image_size, model.config.image_size, 3],
         "framework": "cv_diffusion_tpu",
     }
     with open(out / "model_config.json", "w") as f:
@@ -203,13 +214,15 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
             }
             export_stablehlo(qmodel, schedule, graph_vars, batch_size,
                              num_inference_steps,
-                             path=str(out / "sampler.stablehlo"))
+                             path=str(out / "sampler.stablehlo"),
+                             dynamic_batch=dynamic_batch)
         else:
             fp32_params = params if codec == "fp32" else (
                 dequantize_int8(qparams) if codec == "int8" else qparams)
             export_stablehlo(model, schedule, fp32_params, batch_size,
                              num_inference_steps,
-                             path=str(out / "sampler.stablehlo"))
+                             path=str(out / "sampler.stablehlo"),
+                             dynamic_batch=dynamic_batch)
         files["graph"] = str(out / "sampler.stablehlo")
     return files
 
@@ -354,6 +367,13 @@ class ServingPipeline:
         out = self._fn(self.params, key_data, jnp.asarray(x))
         return self.post(np.asarray(out), meta)
 
+    # Chunks kept in flight ahead of the fetch cursor: k=2 keeps the device
+    # busy (dispatch is async; the device samples chunk N+1/N+2 while the
+    # host fetches/postprocesses chunk N) while bounding device-resident
+    # outputs at k+1 batches — an unbounded window grows ~196 KB/image at
+    # 256² (≈2 GB for a 10k-image folder) next to the sampler's temporaries.
+    MAX_IN_FLIGHT = 2
+
     def batch(self, images, seed: Optional[int] = None):
         """Enhance a list of uint8 HWC images in fixed-size device batches.
 
@@ -361,16 +381,19 @@ class ServingPipeline:
         (``android_pipeline.py:336-389``); on an accelerator the throughput
         sweet spot is batched, so this pads the final partial batch to
         ``config.batch_size`` (one compiled program regardless of list
-        length) and runs the whole batch per dispatch. Returns a list of
-        uint8 arrays in input order.
+        length), pipelines dispatch ``MAX_IN_FLIGHT`` chunks ahead of the
+        host-side fetch/postprocess, and returns uint8 arrays in input order.
         """
         bs = max(1, self.config.batch_size)
-        # Phase 1 — dispatch every chunk: jax dispatch is async, so the
-        # device pipelines chunk N+1's sampler while the host is still
-        # fetching/postprocessing chunk N in phase 2. Device outputs are
-        # small (batch × S × S × 3), so holding them all in flight is cheap
-        # next to the sampler's own temporaries.
         in_flight = []
+        outs = []
+
+        def drain_one():
+            out, metas, n_valid = in_flight.pop(0)
+            host = np.asarray(out)                        # uint8, 1 B/px
+            for i in range(n_valid):
+                outs.append(self.post(host[i:i + 1], metas[i]))
+
         for chunk_idx, start in enumerate(range(0, len(images), bs)):
             chunk = images[start:start + bs]
             pre = [self.pre(img) for img in chunk]
@@ -385,12 +408,10 @@ class ServingPipeline:
                 None if seed is None else seed + chunk_idx)
             out = self._fn(self.params, key_data, jnp.asarray(x))
             in_flight.append((out, [p[1] for p in pre], n_valid))
-        # Phase 2 — fetch + postprocess in order.
-        outs = []
-        for out, metas, n_valid in in_flight:
-            host = np.asarray(out)                        # uint8, 1 B/px
-            for i in range(n_valid):
-                outs.append(self.post(host[i:i + 1], metas[i]))
+            while len(in_flight) > self.MAX_IN_FLIGHT:
+                drain_one()                               # fetch chunk N-k
+        while in_flight:
+            drain_one()
         return outs
 
     def benchmark(self, num_runs: int = 20, warmup: int = 3

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--graph", action="store_true",
                    help="Also serialize the full sampler as StableHLO")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--dynamic_batch", action="store_true",
+                   help="Export the StableHLO graph with a symbolic batch "
+                        "dimension (serves any batch size, like the "
+                        "reference's dynamic ONNX axes)")
     p.add_argument("--use_ema", action="store_true",
                    help="Export the EMA weights from a training checkpoint")
     p.add_argument("--benchmark", action="store_true",
@@ -57,7 +61,8 @@ def main():
     files = create_serving_package(
         args.output, model, schedule, params,
         num_inference_steps=args.num_steps, quantize=args.quantize,
-        include_graph=args.graph, batch_size=args.batch_size)
+        include_graph=args.graph, batch_size=args.batch_size,
+        dynamic_batch=args.dynamic_batch)
     print("Exported package:")
     for k, v in files.items():
         print(f"  {k}: {v}")

@@ -196,6 +196,52 @@ def test_serving_pipeline_batch(tiny):
     np.testing.assert_array_equal(outs[0], outs2[0])
 
 
+def test_serving_pipeline_batch_bounded_window(tiny):
+    """Long lists: dispatch stays ≤ MAX_IN_FLIGHT chunks ahead of the fetch
+    cursor (bounds device-resident outputs), outputs stay ordered and
+    deterministic."""
+    model, schedule, params = tiny
+    cfg = ServingConfig(image_size=32, num_inference_steps=2, batch_size=2)
+    pipe = ServingPipeline(model, schedule, params, cfg)
+
+    dispatched = [0]
+    fetched = [0]
+    orig_fn, orig_post = pipe._fn, pipe.post
+
+    def counting_fn(params, key, x):
+        dispatched[0] += 1
+        # invariant at every dispatch: at most MAX_IN_FLIGHT earlier chunks
+        # are still unfetched (the new one makes MAX_IN_FLIGHT + 1 in
+        # flight before the drain loop runs)
+        assert dispatched[0] - 1 - fetched[0] <= pipe.MAX_IN_FLIGHT
+        return orig_fn(params, key, x)
+
+    pipe._fn = counting_fn
+
+    # count fetches at chunk granularity: each drain calls post() n_valid
+    # times for one chunk
+    post_calls = [0]
+
+    def chunk_counting_post(img, meta):
+        post_calls[0] += 1
+        fetched[0] = (post_calls[0] + cfg.batch_size - 1) // cfg.batch_size
+        return orig_post(img, meta)
+
+    pipe.post = chunk_counting_post
+
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 60, (36, 44, 3), dtype=np.uint8)
+            for _ in range(13)]  # 7 chunks of 2 (last one padded)
+    outs = pipe.batch(imgs, seed=3)
+    assert dispatched[0] == 7 and len(outs) == 13
+    for o in outs:
+        assert o.shape == (36, 44, 3) and o.dtype == np.uint8
+    # same list, same seed → identical outputs after the rewrite
+    outs_again = pipe.batch(imgs, seed=3)
+    for a, b in zip(outs, outs_again):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_serving_explicit_seed_is_reproducible(tiny):
     """An explicit per-call seed must reproduce exactly, regardless of how
     many calls advanced the pipeline's internal counter before it (the
@@ -280,6 +326,53 @@ def test_stablehlo_export_and_reload(tiny, tmp_path):
     out = fn(params, key_data, low)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_stablehlo_dynamic_batch(tiny, tmp_path):
+    """One dynamic-batch artifact serves b1 AND b4 (parity with the
+    reference's dynamic ONNX batch axes, ``onnx_export.py:143-147``) and
+    its b1 outputs match the static-batch artifact's (symbolic-dim lowering
+    reorders float fusion → a few f32 ulps across the 2-step sampler, not
+    bit-exact)."""
+    model, schedule, params = tiny
+    path = str(tmp_path / "dyn.stablehlo")
+    export_stablehlo(model, schedule, params, num_inference_steps=2,
+                     path=path, dynamic_batch=True)
+    fn = load_stablehlo(path)
+    key_data = jax.random.key_data(jax.random.key(7))
+    rng = np.random.default_rng(0)
+    low4 = rng.uniform(-1, 0, (4, 32, 32, 3)).astype(np.float32)
+
+    out1 = np.asarray(fn(params, key_data, low4[:1]))
+    out4 = np.asarray(fn(params, key_data, low4))
+    assert out1.shape == (1, 32, 32, 3) and out4.shape == (4, 32, 32, 3)
+    assert np.isfinite(out1).all() and np.isfinite(out4).all()
+
+    static = export_stablehlo(model, schedule, params, batch_size=1,
+                              num_inference_steps=2,
+                              path=str(tmp_path / "static.stablehlo"))
+    assert len(static) > 1000
+    from jax import export as jexport
+    out1_static = np.asarray(
+        jexport.deserialize(static).call(params, key_data, low4[:1]))
+    np.testing.assert_allclose(out1, out1_static, atol=1e-4)
+
+
+def test_package_dynamic_batch_graph(tiny, tmp_path):
+    """create_serving_package(dynamic_batch=True) records the dynamic axis
+    and ships a graph that runs at more than one batch size."""
+    model, schedule, params = tiny
+    files = create_serving_package(
+        str(tmp_path / "pkgdyn"), model, schedule, params,
+        num_inference_steps=2, include_graph=True, dynamic_batch=True)
+    with open(files["config"]) as f:
+        cfg = json.load(f)
+    assert cfg["input"][0] == "dynamic"
+    fn = load_stablehlo(files["graph"])
+    key_data = jax.random.key_data(jax.random.key(0))
+    for b in (1, 3):
+        out = fn(params, key_data, np.zeros((b, 32, 32, 3), np.float32))
+        assert out.shape == (b, 32, 32, 3)
 
 
 def test_bf16_package_serves_in_bf16(tiny, tmp_path):
