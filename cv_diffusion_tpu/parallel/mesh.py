@@ -91,11 +91,35 @@ def make_hybrid_mesh(ici_shape: Tuple[int, ...],
     the data axis on DCN (gradient all-reduce is latency-tolerant) and any
     spatial/model axes on ICI (halo exchanges are latency-bound) — the
     scaling-book recipe.  Per-axis device count = ici_shape[i] * dcn_shape[i].
+
+    Slice boundaries come from the devices' ``slice_index`` (TPU) when the
+    distinct-slice count matches ``prod(dcn_shape)``; otherwise processes
+    are the DCN granule (CPU multi-process tests report slice_index=0 for
+    every device, so the attribute alone can't decide).  An all-ones
+    ``dcn_shape`` degenerates to a plain ICI mesh, so the same call site
+    works from one slice to many.
     """
     from jax.experimental import mesh_utils
 
+    devices = jax.devices()
+    if not (len(ici_shape) == len(dcn_shape) == len(axis_names)):
+        raise ValueError(
+            f"ici_shape {ici_shape}, dcn_shape {dcn_shape} and axis_names "
+            f"{axis_names} must have equal rank")
+    total = int(np.prod([i * d for i, d in zip(ici_shape, dcn_shape)]))
+    if total != len(devices):
+        raise ValueError(
+            f"hybrid mesh {ici_shape} x {dcn_shape} covers {total} devices "
+            f"but {len(devices)} are available")
+    if all(d == 1 for d in dcn_shape):
+        devs = mesh_utils.create_device_mesh(ici_shape, devices=devices)
+        return Mesh(devs, axis_names)
+    n_granules = int(np.prod(dcn_shape))
+    slices = {getattr(d, "slice_index", None) for d in devices}
+    process_is_granule = None in slices or len(slices) != n_granules
     devs = mesh_utils.create_hybrid_device_mesh(
-        ici_shape, dcn_shape, devices=jax.devices())
+        ici_shape, dcn_shape, devices=devices,
+        process_is_granule=process_is_granule)
     return Mesh(devs, axis_names)
 
 

@@ -61,7 +61,22 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize blocks in the student's backward "
                         "pass (jax.checkpoint) — fits larger batches")
+    p.add_argument("--data_on_device", action="store_true",
+                   help="Cache the decoded training set in device HBM "
+                        "(uint8) and augment on device — for HBM-sized "
+                        "datasets on decode/upload-bound hosts")
     args = p.parse_args()
+
+    if not (args.canonical or args.sampler_matched):
+        print(
+            "WARNING: running with the reference-faithful timestep pairing "
+            "(EMA target at the MORE-noised point, "
+            "low_light_diffusion.py:344-351). Measured on-chip, this "
+            "pairing collapses the student (19.3 -> 5.1 dB PSNR, "
+            "BENCHMARKS.md quality gate) because the consistency recursion "
+            "has no anchor at the data end. Pass --canonical or "
+            "--sampler_matched for a properly anchored variant.",
+            file=sys.stderr)
 
     import jax
     from cv_diffusion_tpu.config import TrainConfig, diffusion_config
@@ -84,7 +99,7 @@ def main():
     train_loader, val_loader = create_dataloaders(
         args.data_dir, args.val_dir, batch_size=args.batch_size,
         image_size=args.image_size, use_synthetic=args.use_synthetic,
-        seed=args.seed)
+        seed=args.seed, device_cache=args.data_on_device)
 
     cfg = TrainConfig(unet_variant=args.variant, image_size=args.image_size,
                       num_inference_steps=args.num_steps, epochs=args.epochs,

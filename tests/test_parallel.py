@@ -233,6 +233,28 @@ def test_mesh_eval_step_ragged(tiny_training):
     assert got_g == pytest.approx(got, rel=1e-5)
 
 
+def test_make_hybrid_mesh_single_slice_and_errors():
+    """Hybrid-mesh builder on the virtual 8-device host: an all-ones DCN
+    grid degenerates to a plain ICI mesh; shape mismatches fail loudly at
+    this layer (not deep inside mesh_utils)."""
+    from cv_diffusion_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh((4, 2), (1, 1))
+    assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+    assert mesh.devices.size == 8
+
+    with pytest.raises(ValueError, match="covers 4 devices"):
+        make_hybrid_mesh((2, 1), (2, 1))
+    with pytest.raises(ValueError, match="equal rank"):
+        make_hybrid_mesh((2, 2, 2), (1, 1))
+
+    # a sharded computation actually runs on the hybrid-built mesh
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    x = jnp.arange(16, dtype=jnp.float32).reshape(8, 2)
+    y = jax.jit(lambda a: a * 2, in_shardings=sh, out_shardings=sh)(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x) * 2)
+
+
 def test_distributed_init_noop_single_process(monkeypatch):
     """Without coordinator env/args, distributed_init is a safe no-op."""
     from cv_diffusion_tpu.parallel import distributed_init
