@@ -127,9 +127,19 @@ SWEEP_CONFIGS = [
 ]
 
 
+# Training-step regression rows: (variant, size, batch, grad_accum).
+# b32 = the plain-step config; b256/accum8 = the effective-big-batch
+# config (micro-batch 32), the fastest measured train path (BENCHMARKS.md
+# §remat).
+TRAIN_SWEEP_CONFIGS = [
+    ("small", 256, 32, 1),
+    ("small", 256, 256, 8),
+]
+
+
 def run_sweep(args):
     """Per-config rows recorded each round so cross-config perf regressions
-    are visible (VERDICT r1 item 10)."""
+    are visible (VERDICT r1 item 10; train rows: VERDICT r2 item 10)."""
     for variant, size, steps, batch in SWEEP_CONFIGS:
         try:
             result = run_config(variant, size, steps, batch, args.iters,
@@ -137,6 +147,14 @@ def run_sweep(args):
         except Exception as e:  # OOM on smaller chips: record, keep going
             result = {"metric": f"{variant}_{steps}step_{size}px_enhance_"
                                 f"throughput", "error": str(e)[:200]}
+        print(json.dumps(result), flush=True)
+    for variant, size, batch, accum in TRAIN_SWEEP_CONFIGS:
+        try:
+            result = run_train(variant, size, batch, args.iters, args.warmup,
+                               grad_accum=accum)
+        except Exception as e:
+            result = {"metric": f"{variant}_train_step_{size}px_throughput",
+                      "error": str(e)[:200]}
         print(json.dumps(result), flush=True)
 
 
