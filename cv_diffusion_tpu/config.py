@@ -291,16 +291,22 @@ class TrainConfig:
     # every forward-only surface default the kernel ON (+3.9%, no VJP cost).
     use_pallas: bool = False
     # Rematerialize blocks under autodiff (UNetConfig.remat): recompute
-    # IRB/attention internals in the backward pass instead of storing them —
-    # fits 2-4x larger train batches in HBM at a FLOPs cost. Off by default;
-    # turn on when the target batch OOMs (measured trade-off in
-    # BENCHMARKS.md §remat).
+    # IRB/attention internals in the backward pass instead of storing them.
+    # Measured on-chip (BENCHMARKS.md §remat): on this backend remat RAISES
+    # peak HBM (XLA memory-space-assignment prefetch copies around
+    # checkpoint regions) — every remat config at batch >= 64 OOMs where
+    # the plain step fits, and it costs 9-13% where it runs. Use
+    # grad_accum_steps for big effective batches instead (faster AND
+    # smaller); remat stays available for future backends/models.
     remat: bool = False
     # Gradient accumulation: split each logical batch into this many
     # micro-batches inside the jitted step (lax.scan), averaging the grads
     # before one optimizer update. HBM holds one micro-batch of activations
-    # at a time, so batch_size can exceed what fits directly (composes with
-    # remat). 1 = off. batch_size must be divisible by grad_accum_steps.
+    # at a time, so batch_size can exceed what fits directly — AND it is
+    # measured FASTER than the plain step (amortizes optimizer+EMA+dispatch
+    # overhead): effective b256 as 8x32 micro-batches = 102.1 img/s vs
+    # 90-93 plain b32 on-chip (BENCHMARKS.md §remat). 1 = off. batch_size
+    # must be divisible by grad_accum_steps.
     grad_accum_steps: int = 1
     # Parallelism: mesh shape, e.g. (8,) pure-DP or (4, 2) data×spatial
     # (None = auto: largest DP mesh the batch divides). mesh_axes=None
