@@ -49,6 +49,10 @@ class ServingConfig:
     dtype: str = "bfloat16"
     keep_aspect: bool = True
     seed: int = 0
+    # Renoise-free DDIM-style sampling (scheduler.ddim_step): quality
+    # improves monotonically with num_inference_steps instead of peaking
+    # at ~4. Default False = reference-faithful stochastic LCM step.
+    deterministic: bool = False
     # Persistent XLA compilation cache directory: first-process compiles of
     # the sampler take minutes on TPU; subsequent process starts reuse the
     # cached executable (None = disabled).
@@ -62,18 +66,25 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
 
 def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
-                   num_inference_steps: int) -> Callable:
+                   num_inference_steps: int,
+                   deterministic: bool = False) -> Callable:
     """(params_or_variables, rng_key_data, low_light) → enhanced; jittable.
 
     Accepts either a bare params tree or a full variables dict (e.g.
     ``{"params": ..., "act_scales": ...}`` for the int8-activation path).
+
+    ``deterministic=True`` serves the renoise-free DDIM-style sampler
+    (``scheduler.ddim_step``) — quality improves monotonically with step
+    count, so many-step serving configs should prefer it; the default
+    stays the reference-faithful stochastic LCM step.
     """
 
     def fn(params, key_data, low_light):
         variables = params if "params" in params else {"params": params}
         rng = jax.random.wrap_key_data(key_data)
         out = enhance(model, schedule, variables, rng, low_light,
-                      num_inference_steps=num_inference_steps)
+                      num_inference_steps=num_inference_steps,
+                      deterministic=deterministic)
         # float32 on device: host-side bf16→f32 conversion of the fetched
         # output costs ~50 ms/image on one core (measured).
         return out.astype(jnp.float32)
@@ -85,7 +96,8 @@ def export_stablehlo(model: LowLightDiffusion, schedule: LCMSchedule,
                      params, batch_size: int = 1,
                      num_inference_steps: int = 4,
                      path: Optional[str] = None,
-                     dynamic_batch: bool = False) -> bytes:
+                     dynamic_batch: bool = False,
+                     deterministic: bool = False) -> bytes:
     """Serialize the jitted sampler to portable StableHLO bytes.
 
     The TPU equivalent of ``export_to_onnx`` (``onnx_export.py:64-175``) —
@@ -101,7 +113,8 @@ def export_stablehlo(model: LowLightDiffusion, schedule: LCMSchedule,
     from jax import export as jexport
 
     size = model.config.image_size
-    fn = make_sample_fn(model, schedule, num_inference_steps)
+    fn = make_sample_fn(model, schedule, num_inference_steps,
+                        deterministic=deterministic)
     key_data = jax.random.key_data(jax.random.key(0))
     batch_dim = (jexport.symbolic_shape("b")[0] if dynamic_batch
                  else batch_size)
@@ -140,7 +153,8 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
                            include_graph: bool = False,
                            batch_size: int = 1,
                            act_scales=None,
-                           dynamic_batch: bool = False) -> Dict[str, str]:
+                           dynamic_batch: bool = False,
+                           deterministic: bool = False) -> Dict[str, str]:
     """Write a self-contained deployment package
     (``create_android_package``, ``android_pipeline.py:460-521``):
 
@@ -187,6 +201,7 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
         "quantization": codec,
         "input": ["dynamic" if dynamic_batch else batch_size,
                   model.config.image_size, model.config.image_size, 3],
+        "deterministic": deterministic,
         "framework": "cv_diffusion_tpu",
     }
     with open(out / "model_config.json", "w") as f:
@@ -215,14 +230,16 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
             export_stablehlo(qmodel, schedule, graph_vars, batch_size,
                              num_inference_steps,
                              path=str(out / "sampler.stablehlo"),
-                             dynamic_batch=dynamic_batch)
+                             dynamic_batch=dynamic_batch,
+                             deterministic=deterministic)
         else:
             fp32_params = params if codec == "fp32" else (
                 dequantize_int8(qparams) if codec == "int8" else qparams)
             export_stablehlo(model, schedule, fp32_params, batch_size,
                              num_inference_steps,
                              path=str(out / "sampler.stablehlo"),
-                             dynamic_batch=dynamic_batch)
+                             dynamic_batch=dynamic_batch,
+                             deterministic=deterministic)
         files["graph"] = str(out / "sampler.stablehlo")
     return files
 
@@ -310,7 +327,8 @@ class ServingPipeline:
         self.post = PostProcessor()
         from ..utils.compile_opts import tpu_compiler_options
         base_fn = make_sample_fn(model, schedule,
-                                 self.config.num_inference_steps)
+                                 self.config.num_inference_steps,
+                                 deterministic=self.config.deterministic)
 
         def u8_fn(params, key_data, low_u8):
             # uint8 in, uint8 out: both transfer directions move 1 B/px
@@ -344,7 +362,8 @@ class ServingPipeline:
         if config is None:
             fields = dict(
                 image_size=model.config.image_size,
-                num_inference_steps=meta.get("num_inference_steps", 4))
+                num_inference_steps=meta.get("num_inference_steps", 4),
+                deterministic=meta.get("deterministic", False))
             fields.update({k: v for k, v in overrides.items()
                            if v is not None})
             config = ServingConfig(**fields)

@@ -35,6 +35,10 @@ def main():
                    help="Export the StableHLO graph with a symbolic batch "
                         "dimension (serves any batch size, like the "
                         "reference's dynamic ONNX axes)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="Package the renoise-free DDIM-style sampler "
+                        "(recorded in model_config.json; pipelines built "
+                        "from the package inherit it)")
     p.add_argument("--use_ema", action="store_true",
                    help="Export the EMA weights from a training checkpoint")
     p.add_argument("--benchmark", action="store_true",
@@ -62,7 +66,7 @@ def main():
         args.output, model, schedule, params,
         num_inference_steps=args.num_steps, quantize=args.quantize,
         include_graph=args.graph, batch_size=args.batch_size,
-        dynamic_batch=args.dynamic_batch)
+        dynamic_batch=args.dynamic_batch, deterministic=args.deterministic)
     print("Exported package:")
     for k, v in files.items():
         print(f"  {k}: {v}")

@@ -31,12 +31,14 @@ def load_pipeline(args):
             num_inference_steps=args.num_steps,
             keep_aspect=not args.no_pad, seed=args.seed,
             batch_size=args.batch_size,
+            deterministic=True if args.deterministic else None,
             use_pallas=False if getattr(args, "no_pallas", False) else None)
 
     cfg = ServingConfig(image_size=args.image_size or 256,
                         num_inference_steps=args.num_steps or 4,
                         keep_aspect=not args.no_pad, seed=args.seed,
-                        batch_size=args.batch_size)
+                        batch_size=args.batch_size,
+                        deterministic=args.deterministic)
     # training checkpoint → pipeline
     import jax
     from cv_diffusion_tpu.config import diffusion_config
@@ -98,6 +100,10 @@ def main():
     p.add_argument("--no_pallas", action="store_true",
                    help="Force the XLA attention path (the Pallas kernel "
                         "is the forward-only default, like serving packages)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="Renoise-free DDIM-style sampling (quality improves "
+                        "monotonically with --num_steps; the stochastic LCM "
+                        "sampler peaks at ~4 steps)")
     args = p.parse_args()
 
     pipe = load_pipeline(args)

@@ -358,6 +358,33 @@ def test_stablehlo_dynamic_batch(tiny, tmp_path):
     np.testing.assert_allclose(out1, out1_static, atol=1e-4)
 
 
+def test_deterministic_serving_package(tiny, tmp_path):
+    """deterministic=True is recorded in model_config.json, inherited by
+    from_package pipelines, and changes the sampler (renoise-free DDIM vs
+    stochastic LCM) while staying seed-reproducible."""
+    model, schedule, params = tiny
+    files = create_serving_package(
+        str(tmp_path / "pkgdet"), model, schedule, params,
+        num_inference_steps=2, deterministic=True)
+    with open(files["config"]) as f:
+        assert json.load(f)["deterministic"] is True
+
+    pipe_det = ServingPipeline.from_package(str(tmp_path / "pkgdet"))
+    assert pipe_det.config.deterministic is True
+    img = np.full((40, 40, 3), 40, np.uint8)
+    a = pipe_det(img, seed=5)
+    b = pipe_det(img, seed=5)
+    np.testing.assert_array_equal(a, b)
+
+    files_s = create_serving_package(
+        str(tmp_path / "pkgstoch"), model, schedule, params,
+        num_inference_steps=2)
+    pipe_s = ServingPipeline.from_package(str(tmp_path / "pkgstoch"))
+    assert pipe_s.config.deterministic is False
+    c = pipe_s(img, seed=5)
+    assert np.abs(a.astype(np.int32) - c.astype(np.int32)).max() > 0
+
+
 def test_package_dynamic_batch_graph(tiny, tmp_path):
     """create_serving_package(dynamic_batch=True) records the dynamic axis
     and ships a graph that runs at more than one batch size."""
