@@ -367,6 +367,18 @@ class DistillationTrainer:
             lambda params, k, x: enhance(
                 model, schedule, {"params": params}, k, x,
                 num_inference_steps=self.config.num_inference_steps))
+        # Full-sampler val PSNR (per-image, vmapped) in ONE compiled program:
+        # on the remote-compile backend every eager op is a separate compile,
+        # so the metric must not run op-by-op (same pattern as
+        # scripts/evaluate.py).  Clip to the displayable range first — that is
+        # what any consumer of the enhanced image sees.
+        def _batch_psnr(out, target):
+            pred = jnp.clip(
+                denormalize_image(out.astype(jnp.float32)), 0.0, 1.0)
+            tgt = denormalize_image(target.astype(jnp.float32))
+            return jax.vmap(lambda p, t: psnr(p[None], t[None]))(pred, tgt)
+        self._val_psnr = jax.jit(_batch_psnr)
+        self.best_val_psnr = float("-inf")
 
         self.epoch = 0
         self.output_dir = Path(self.config.output_dir)
@@ -402,11 +414,49 @@ class DistillationTrainer:
             count = len(pending)
             print(f"Distill epoch {epoch}: loss={total / max(1, count):.4f} "
                   f"lr={float(self.lr_schedule(count * (epoch + 1))):.2e}")
+            if self.val_loader is not None:
+                val_psnr = self.validate_psnr()
+                print(f"Distill epoch {epoch}: val_psnr={val_psnr:.2f} dB")
+                # Students degrade with over-training (measured: canonical
+                # 100 ep = 17.61 dB vs 20 ep = 18.70, BENCHMARKS.md quality
+                # gate) — keep the best-by-val-PSNR student, not just the
+                # last one.
+                if val_psnr > self.best_val_psnr:
+                    self.best_val_psnr = val_psnr
+                    self.save_student("best_student")
             if (epoch + 1) % self.config.save_interval == 0:
                 self.save_student(f"student_epoch_{epoch}")
             if (epoch + 1) % self.config.sample_interval == 0:
                 self.generate_samples(epoch)
         self.save_student("student_final")
+
+    def validate_psnr(self) -> float:
+        """Mean full-sampler PSNR of the EMA student over the val set.
+
+        The sampler program is shape-specialized: ragged final batches are
+        padded on the HOST to the training batch size (a straggler shape
+        would recompile the whole k-step graph) and the padded lanes are
+        dropped host-side after the fetch.
+        """
+        rng = jax.random.key(self.config.seed)
+        scores = []
+        for batch in self.val_loader:
+            rng, k = jax.random.split(rng)
+            low = np.asarray(batch["low_light"])
+            tgt = np.asarray(batch["normal_light"])
+            n_valid = low.shape[0]
+            if n_valid < self.config.batch_size:
+                pad = np.zeros(
+                    (self.config.batch_size - n_valid,) + low.shape[1:],
+                    low.dtype)
+                low = np.concatenate([low, pad])
+                tgt = np.concatenate([tgt, pad.astype(tgt.dtype)])
+            out = self._enhance(self.state.ema_student_params, k,
+                                jnp.asarray(low))
+            per_image = np.asarray(
+                self._val_psnr(out, jnp.asarray(tgt)))[:n_valid]
+            scores.extend(float(s) for s in per_image)
+        return float(np.mean(scores)) if scores else float("-inf")
 
     def generate_samples(self, epoch: int):
         loader = self.val_loader or self.train_loader

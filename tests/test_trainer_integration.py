@@ -116,3 +116,47 @@ def test_validation_and_quality_eval(flat_dir, tmp_path):
     q = trainer.evaluate_quality(num_inference_steps=2, max_batches=1)
     assert 0 < q["psnr"] < 60
     assert -1 <= q["ssim"] <= 1
+
+
+def test_distillation_best_student_selection(flat_dir, tmp_path):
+    """DistillationTrainer tracks full-sampler val PSNR per epoch and keeps a
+    best_student checkpoint; ragged val batches take the host-pad path (7
+    images, batch 4)."""
+    import jax
+    from cv_diffusion_tpu.models import init_model
+    from cv_diffusion_tpu.training import DistillationTrainer
+    from cv_diffusion_tpu.training import checkpoint as ckpt
+
+    cfg = TrainConfig(
+        unet_variant="tiny", image_size=32, epochs=2, batch_size=4,
+        num_inference_steps=2, warmup_epochs=0, save_interval=100,
+        sample_interval=100, output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    train_loader, _ = create_dataloaders(str(flat_dir), None, batch_size=4,
+                                         image_size=32, use_synthetic=True)
+    # 7-image val set -> one full batch + one ragged 3-image batch
+    from cv_diffusion_tpu.data import DataLoader, SyntheticLowLightDataset
+    val_ds = SyntheticLowLightDataset(str(flat_dir), image_size=32)
+    val_ds.images = val_ds.images[:7]
+    val_loader = DataLoader(val_ds, 4)
+    model, schedule = create_model(diffusion_config("tiny", image_size=32))
+    teacher = init_model(model, jax.random.key(0))["params"]
+    trainer = DistillationTrainer(model, schedule, teacher, train_loader,
+                                  val_loader=val_loader, config=cfg,
+                                  mesh=False, canonical=True)
+    trainer.train()
+
+    assert np.isfinite(trainer.best_val_psnr)
+    best = tmp_path / "ckpt" / "best_student"
+    final = tmp_path / "ckpt" / "student_final"
+    assert best.exists() and final.exists()
+    # the best checkpoint round-trips through the params loader.  NB: the
+    # donated distillation step consumed the original `teacher` arrays, so
+    # the shape tree must come from eval_shape, not from `teacher`.
+    shapes = jax.eval_shape(
+        lambda k: init_model(model, k), jax.random.key(0))["params"]
+    like = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+    restored = ckpt.load_inference_params(str(best), like)
+    assert jax.tree_util.tree_structure(
+        restored) == jax.tree_util.tree_structure(like)
