@@ -332,7 +332,8 @@ class DistillationTrainer:
                  num_ddim_timesteps: int = 50, ema_decay: float = 0.95,
                  mesh=None, canonical: bool = False,
                  pair_stride: Optional[int] = None,
-                 sampler_matched: bool = False):
+                 sampler_matched: bool = False,
+                 student_params=None):
         from ..models.distillation import (create_distillation_state,
                                            make_distillation_step)
         from .train_state import make_optimizer
@@ -351,10 +352,14 @@ class DistillationTrainer:
             self.mesh = mesh
 
         tx, self.lr_schedule = make_optimizer(self.config, len(train_loader))
-        # student starts as a (jitted, non-aliasing) copy of the teacher
+        # Student starts as a (jitted, non-aliasing) copy of the teacher, or
+        # warm-starts from an existing student (staged distillation: resume a
+        # distillation run or distill an already-distilled student further).
+        init_from = (student_params if student_params is not None
+                     else teacher_params)
         student = jax.jit(
             lambda t: jax.tree_util.tree_map(lambda p: p + 0, t))(
-            teacher_params)
+            init_from)
         self.state = create_distillation_state(
             teacher_params, student, tx, jax.random.key(self.config.seed))
         self.step_fn = make_distillation_step(

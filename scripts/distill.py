@@ -35,6 +35,10 @@ def main():
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--ema_decay", type=float, default=0.95,
                    help="Distillation EMA (reference default 0.95)")
+    p.add_argument("--init_student", type=str, default=None,
+                   help="Warm-start the student (and its EMA copy) from an "
+                        "existing student checkpoint / params dir instead of "
+                        "the teacher — continue or stage a distillation run")
     p.add_argument("--teacher_ema", action="store_true",
                    help="Use the teacher checkpoint's EMA weights (only "
                         "sensible when the teacher trained long enough for "
@@ -95,6 +99,9 @@ def main():
         lambda s: np.zeros(s.shape, s.dtype), like)["params"]
     teacher = ckpt.load_inference_params(args.teacher, like,
                                          use_ema=args.teacher_ema)
+    student = None
+    if args.init_student is not None:
+        student = ckpt.load_inference_params(args.init_student, like)
 
     train_loader, val_loader = create_dataloaders(
         args.data_dir, args.val_dir, batch_size=args.batch_size,
@@ -110,7 +117,7 @@ def main():
         model, schedule, teacher, train_loader, val_loader, cfg,
         num_ddim_timesteps=args.num_ddim_timesteps, ema_decay=args.ema_decay,
         canonical=args.canonical, pair_stride=args.pair_stride,
-        sampler_matched=args.sampler_matched)
+        sampler_matched=args.sampler_matched, student_params=student)
     trainer.train()
 
 

@@ -160,3 +160,18 @@ def test_distillation_best_student_selection(flat_dir, tmp_path):
     restored = ckpt.load_inference_params(str(best), like)
     assert jax.tree_util.tree_structure(
         restored) == jax.tree_util.tree_structure(like)
+
+    # Warm start (staged distillation): a new trainer seeded from the saved
+    # student starts from THOSE weights, not a fresh teacher copy.
+    teacher2 = init_model(model, jax.random.key(1))["params"]
+    t2 = DistillationTrainer(model, schedule, teacher2, train_loader,
+                             config=cfg, mesh=False, canonical=True,
+                             student_params=restored)
+    leaf = lambda tree: jax.tree_util.tree_leaves(tree)[0]
+    np.testing.assert_array_equal(
+        np.asarray(leaf(t2.state.student_params)), np.asarray(leaf(restored)))
+    np.testing.assert_array_equal(
+        np.asarray(leaf(t2.state.ema_student_params)),
+        np.asarray(leaf(restored)))
+    assert not np.array_equal(np.asarray(leaf(t2.state.student_params)),
+                              np.asarray(leaf(teacher2)))
