@@ -24,7 +24,7 @@ import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,10 @@ class ServingConfig:
     # improves monotonically with num_inference_steps instead of peaking
     # at ~4. Default False = reference-faithful stochastic LCM step.
     deterministic: bool = False
+    # Explicit descending timestep grid overriding the stock lcm_timesteps
+    # grid — required to serve sampler-regression-distilled students (their
+    # 1-step grid is [739], not the degenerate stock [19]). None = stock.
+    timesteps: Optional[tuple] = None
     # Persistent XLA compilation cache directory: first-process compiles of
     # the sampler take minutes on TPU; subsequent process starts reuse the
     # cached executable (None = disabled).
@@ -67,7 +71,8 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
 def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
                    num_inference_steps: int,
-                   deterministic: bool = False) -> Callable:
+                   deterministic: bool = False,
+                   timesteps: Optional[Sequence[int]] = None) -> Callable:
     """(params_or_variables, rng_key_data, low_light) → enhanced; jittable.
 
     Accepts either a bare params tree or a full variables dict (e.g.
@@ -77,6 +82,10 @@ def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
     (``scheduler.ddim_step``) — quality improves monotonically with step
     count, so many-step serving configs should prefer it; the default
     stays the reference-faithful stochastic LCM step.
+
+    ``timesteps`` overrides the stock grid (see ``enhance``) — the serving
+    knob for sampler-regression-distilled students whose grid is custom
+    (e.g. the 1-step ``[739]``).
     """
 
     def fn(params, key_data, low_light):
@@ -84,7 +93,7 @@ def make_sample_fn(model: LowLightDiffusion, schedule: LCMSchedule,
         rng = jax.random.wrap_key_data(key_data)
         out = enhance(model, schedule, variables, rng, low_light,
                       num_inference_steps=num_inference_steps,
-                      deterministic=deterministic)
+                      deterministic=deterministic, timesteps=timesteps)
         # float32 on device: host-side bf16→f32 conversion of the fetched
         # output costs ~50 ms/image on one core (measured).
         return out.astype(jnp.float32)
@@ -97,7 +106,8 @@ def export_stablehlo(model: LowLightDiffusion, schedule: LCMSchedule,
                      num_inference_steps: int = 4,
                      path: Optional[str] = None,
                      dynamic_batch: bool = False,
-                     deterministic: bool = False) -> bytes:
+                     deterministic: bool = False,
+                     timesteps: Optional[Sequence[int]] = None) -> bytes:
     """Serialize the jitted sampler to portable StableHLO bytes.
 
     The TPU equivalent of ``export_to_onnx`` (``onnx_export.py:64-175``) —
@@ -114,7 +124,7 @@ def export_stablehlo(model: LowLightDiffusion, schedule: LCMSchedule,
 
     size = model.config.image_size
     fn = make_sample_fn(model, schedule, num_inference_steps,
-                        deterministic=deterministic)
+                        deterministic=deterministic, timesteps=timesteps)
     key_data = jax.random.key_data(jax.random.key(0))
     batch_dim = (jexport.symbolic_shape("b")[0] if dynamic_batch
                  else batch_size)
@@ -154,7 +164,9 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
                            batch_size: int = 1,
                            act_scales=None,
                            dynamic_batch: bool = False,
-                           deterministic: bool = False) -> Dict[str, str]:
+                           deterministic: bool = False,
+                           timesteps: Optional[Sequence[int]] = None
+                           ) -> Dict[str, str]:
     """Write a self-contained deployment package
     (``create_android_package``, ``android_pipeline.py:460-521``):
 
@@ -195,6 +207,9 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
     ckpt.save_params(str(out / "params"), qparams)
     files["params"] = str(out / "params")
 
+    if timesteps is not None:
+        timesteps = [int(t) for t in timesteps]
+        num_inference_steps = len(timesteps)
     cfg = {
         "model": json.loads(to_json(model_cfg_out)),
         "num_inference_steps": num_inference_steps,
@@ -202,15 +217,17 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
         "input": ["dynamic" if dynamic_batch else batch_size,
                   model.config.image_size, model.config.image_size, 3],
         "deterministic": deterministic,
+        "timesteps": timesteps,
         "framework": "cv_diffusion_tpu",
     }
     with open(out / "model_config.json", "w") as f:
         json.dump(cfg, f, indent=2)
     files["config"] = str(out / "model_config.json")
 
-    ts = lcm_timesteps(num_inference_steps,
-                       schedule.config.num_train_timesteps,
-                       schedule.config.original_inference_steps)
+    ts = (timesteps if timesteps is not None
+          else lcm_timesteps(num_inference_steps,
+                             schedule.config.num_train_timesteps,
+                             schedule.config.original_inference_steps))
     np.savez(out / "noise_schedule.npz",
              alphas_cumprod=np.asarray(schedule.alphas_cumprod),
              timesteps=np.asarray(ts, dtype=np.int32))
@@ -231,7 +248,8 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
                              num_inference_steps,
                              path=str(out / "sampler.stablehlo"),
                              dynamic_batch=dynamic_batch,
-                             deterministic=deterministic)
+                             deterministic=deterministic,
+                             timesteps=timesteps)
         else:
             fp32_params = params if codec == "fp32" else (
                 dequantize_int8(qparams) if codec == "int8" else qparams)
@@ -239,7 +257,8 @@ def create_serving_package(output_dir: str, model: LowLightDiffusion,
                              num_inference_steps,
                              path=str(out / "sampler.stablehlo"),
                              dynamic_batch=dynamic_batch,
-                             deterministic=deterministic)
+                             deterministic=deterministic,
+                             timesteps=timesteps)
         files["graph"] = str(out / "sampler.stablehlo")
     return files
 
@@ -328,7 +347,8 @@ class ServingPipeline:
         from ..utils.compile_opts import tpu_compiler_options
         base_fn = make_sample_fn(model, schedule,
                                  self.config.num_inference_steps,
-                                 deterministic=self.config.deterministic)
+                                 deterministic=self.config.deterministic,
+                                 timesteps=self.config.timesteps)
 
         def u8_fn(params, key_data, low_u8):
             # uint8 in, uint8 out: both transfer directions move 1 B/px
@@ -360,10 +380,12 @@ class ServingPipeline:
         model, schedule, params, meta = load_serving_package(
             package_dir, use_pallas=use_pallas)
         if config is None:
+            meta_ts = meta.get("timesteps")
             fields = dict(
                 image_size=model.config.image_size,
                 num_inference_steps=meta.get("num_inference_steps", 4),
-                deterministic=meta.get("deterministic", False))
+                deterministic=meta.get("deterministic", False),
+                timesteps=tuple(meta_ts) if meta_ts else None)
             fields.update({k: v for k, v in overrides.items()
                            if v is not None})
             config = ServingConfig(**fields)

@@ -9,6 +9,8 @@ from .diffusion import (LowLightDiffusion, create_model, init_model,
                         normalize_image, denormalize_image, get_model_size)
 from .distillation import (DistillationState, create_distillation_state,
                            make_distillation_step,
+                           make_regression_distillation_step,
                            consistency_distillation_loss, consistency_loss,
-                           huber_loss, sample_timestep_pairs)
+                           huber_loss, sample_timestep_pairs,
+                           sampler_regression_loss)
 from .diffusion import EnhanceOutput

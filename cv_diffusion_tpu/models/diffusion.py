@@ -193,7 +193,8 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
             return_intermediate: bool = False,
             init_noise: Optional[jnp.ndarray] = None,
             step_noise: Optional[jnp.ndarray] = None,
-            deterministic: bool = False) -> jnp.ndarray:
+            deterministic: bool = False,
+            timesteps: Optional[Any] = None) -> jnp.ndarray:
     """LCM sampling as one ``lax.scan`` graph
     (``low_light_diffusion.py:177-248`` — minus the per-step host syncs).
 
@@ -207,6 +208,13 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
         step count instead of peaking at ~4 steps, which is what gives a
         many-step teacher distillation headroom. Initial latents still come
         from ``rng``/``init_noise``; ``step_noise`` is unused.
+      timesteps: explicit descending timestep grid overriding the
+        reference-faithful ``lcm_timesteps`` grid.  The stock 1-step grid is
+        ``[19]`` — the sampler starts from pure noise at a near-zero-noise
+        grid point, so x̂₀ ≈ the noise itself and 1-step output is degenerate
+        (measured 8.9 dB).  A sampler-regression-distilled 1-step student
+        (``distillation.sampler_regression_loss``) instead uses a high-t
+        start like ``[739]``, which must be passed here at inference too.
 
     Returns [B, H, W, 3] in [-1, 1], or an ``EnhanceOutput`` when
       ``return_intermediate=True``.
@@ -218,7 +226,13 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
     batch, height, width = low_light.shape[:3]
     dtype = jnp.dtype(cfg.unet.dtype)
 
-    ts, prev_ts = sched.timestep_scan_arrays(steps, schedule.config)
+    if timesteps is not None:
+        grid = [int(t) for t in timesteps]
+        steps = len(grid)
+        ts = np.asarray(grid, dtype=np.int32)
+        prev_ts = np.asarray(sched.prev_timesteps(grid), dtype=np.int32)
+    else:
+        ts, prev_ts = sched.timestep_scan_arrays(steps, schedule.config)
     ts = jnp.asarray(ts)
     prev_ts = jnp.asarray(prev_ts)
 

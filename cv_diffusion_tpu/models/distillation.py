@@ -22,14 +22,14 @@ factory returns a donated, mesh-shardable train step like the base trainer's.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..models.diffusion import LowLightDiffusion
+from ..models.diffusion import LowLightDiffusion, enhance
 from ..models.scheduler import LCMSchedule, add_noise
 from ..training.ema import update_ema
 
@@ -208,6 +208,60 @@ def consistency_distillation_loss(
     return huber_loss(student_x0, target_x0)
 
 
+def sampler_regression_loss(
+        model: LowLightDiffusion, schedule: LCMSchedule,
+        teacher_params, student_params,
+        rng: jax.Array, low_light: jnp.ndarray, normal_light: jnp.ndarray,
+        teacher_steps: int = 4,
+        student_timesteps: Sequence[int] = (739,),
+        deterministic_teacher: bool = False,
+        gt_weight: float = 0.0) -> jnp.ndarray:
+    """Sampler-to-sampler regression distillation.
+
+    The consistency objective transfers quality between ADJACENT grid
+    points, which cannot rescue the 1-step regime: the reference's 1-step
+    grid is ``[19]`` (``lcm_scheduler.py:131-167``), where the sampler
+    feeds pure noise into a near-zero-noise timestep and x̂₀ ≈ the noise
+    itself (measured 8.9 dB under every teacher/student).  This objective
+    instead regresses the student's ENTIRE m-step sampler output (its own
+    high-t grid, e.g. ``[739]``) onto the frozen teacher's full k-step
+    deployed-sampler output, end to end:
+
+        L = huber( student_sampler_m(noise, low),
+                   stopgrad(teacher_sampler_k(noise', low)) )
+
+    Because the student trains in exactly its deployment regime (input IS
+    pure N(0,1) treated as x_{t_start}), the train/inference distribution
+    mismatch that breaks the stock 1-step grid does not exist here.  With a
+    stochastic teacher the student learns the teacher-output posterior
+    mean — the MSE/PSNR-optimal point estimate.
+
+    ``gt_weight`` mixes in a ground-truth anchor (paired data is available
+    in this task): L = (1-w)·L_teacher + w·huber(student, normal_light).
+
+    No reference analogue: its distillation components
+    (``low_light_diffusion.py:284-408``) only implement adjacent-pair
+    consistency, and its 1-step sampler is degenerate by construction.
+    """
+    t_rng, s_rng = jax.random.split(rng)
+    teacher_out = enhance(model, schedule, {"params": teacher_params},
+                          t_rng, low_light,
+                          num_inference_steps=teacher_steps,
+                          deterministic=deterministic_teacher)
+    teacher_out = jax.lax.stop_gradient(teacher_out.astype(jnp.float32))
+
+    student_out = enhance(model, schedule, {"params": student_params},
+                          s_rng, low_light,
+                          timesteps=tuple(student_timesteps)
+                          ).astype(jnp.float32)
+
+    loss = huber_loss(student_out, teacher_out)
+    if gt_weight:
+        gt = huber_loss(student_out, normal_light.astype(jnp.float32))
+        loss = (1.0 - gt_weight) * loss + gt_weight * gt
+    return loss
+
+
 class DistillationState(struct.PyTreeNode):
     """Distillation train state: frozen teacher + student + EMA student."""
 
@@ -242,36 +296,19 @@ def create_distillation_state(teacher_params, student_params,
     )
 
 
-def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
-                           ema_decay: float = 0.95,
-                           num_ddim_timesteps: int = 50,
-                           num_inference_steps: int = 4,
-                           mesh=None, donate: bool = True,
-                           canonical: bool = False,
-                           clip_x0: float = 1.5,
-                           pair_stride: Optional[int] = None,
-                           sampler_matched: bool = False) -> Callable:
-    """Jitted distillation train step.
+def _jit_distillation_step(build_loss_fn: Callable, ema_decay: float,
+                           mesh, donate: bool) -> Callable:
+    """Shared update/jit plumbing for the distillation step factories.
 
-    EMA decay default 0.95 follows the distillation components
-    (``lcm_scheduler.py:323``, ``low_light_diffusion.py:317``), not the
-    trainer's 0.9999.  ``canonical`` selects the standard LCM timestep
-    direction instead of the reference's inverted pairing (see
-    :func:`consistency_distillation_loss`).
+    ``build_loss_fn(state, step_rng, batch)`` returns the scalar loss
+    function of the student params; the wrapper adds grad/optimizer/EMA
+    updates and mesh sharding.
     """
 
     def step_fn(state: DistillationState, batch: Dict[str, jnp.ndarray]
                 ) -> Tuple[DistillationState, Dict[str, jnp.ndarray]]:
         rng, step_rng = jax.random.split(state.rng)
-
-        def loss_fn(student_params):
-            return consistency_distillation_loss(
-                model, schedule, state.teacher_params, student_params,
-                state.ema_student_params, step_rng, batch["low_light"],
-                batch["normal_light"], num_ddim_timesteps,
-                num_inference_steps, canonical=canonical, clip_x0=clip_x0,
-                pair_stride=pair_stride, sampler_matched=sampler_matched)
-
+        loss_fn = build_loss_fn(state, step_rng, batch)
         loss, grads = jax.value_and_grad(loss_fn)(state.student_params)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.student_params)
@@ -293,3 +330,65 @@ def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
                                         "normal_light": bsh}),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,) if donate else ())
+
+
+def make_distillation_step(model: LowLightDiffusion, schedule: LCMSchedule,
+                           ema_decay: float = 0.95,
+                           num_ddim_timesteps: int = 50,
+                           num_inference_steps: int = 4,
+                           mesh=None, donate: bool = True,
+                           canonical: bool = False,
+                           clip_x0: float = 1.5,
+                           pair_stride: Optional[int] = None,
+                           sampler_matched: bool = False) -> Callable:
+    """Jitted distillation train step.
+
+    EMA decay default 0.95 follows the distillation components
+    (``lcm_scheduler.py:323``, ``low_light_diffusion.py:317``), not the
+    trainer's 0.9999.  ``canonical`` selects the standard LCM timestep
+    direction instead of the reference's inverted pairing (see
+    :func:`consistency_distillation_loss`).
+    """
+
+    def build_loss_fn(state, step_rng, batch):
+        def loss_fn(student_params):
+            return consistency_distillation_loss(
+                model, schedule, state.teacher_params, student_params,
+                state.ema_student_params, step_rng, batch["low_light"],
+                batch["normal_light"], num_ddim_timesteps,
+                num_inference_steps, canonical=canonical, clip_x0=clip_x0,
+                pair_stride=pair_stride, sampler_matched=sampler_matched)
+        return loss_fn
+
+    return _jit_distillation_step(build_loss_fn, ema_decay, mesh, donate)
+
+
+def make_regression_distillation_step(
+        model: LowLightDiffusion, schedule: LCMSchedule,
+        ema_decay: float = 0.95,
+        teacher_steps: int = 4,
+        student_timesteps: Sequence[int] = (739,),
+        deterministic_teacher: bool = False,
+        gt_weight: float = 0.0,
+        mesh=None, donate: bool = True) -> Callable:
+    """Jitted sampler-regression distillation step
+    (:func:`sampler_regression_loss`) — the 1-step-student training mode.
+
+    The student differentiates through its OWN full m-step sampler (m =
+    ``len(student_timesteps)``, typically 1), so the backward cost scales
+    with m; the teacher's k-step sampler runs forward-only under
+    ``stop_gradient``.
+    """
+    grid = tuple(int(t) for t in student_timesteps)
+
+    def build_loss_fn(state, step_rng, batch):
+        def loss_fn(student_params):
+            return sampler_regression_loss(
+                model, schedule, state.teacher_params, student_params,
+                step_rng, batch["low_light"], batch["normal_light"],
+                teacher_steps=teacher_steps, student_timesteps=grid,
+                deterministic_teacher=deterministic_teacher,
+                gt_weight=gt_weight)
+        return loss_fn
+
+    return _jit_distillation_step(build_loss_fn, ema_decay, mesh, donate)

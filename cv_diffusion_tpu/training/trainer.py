@@ -333,9 +333,15 @@ class DistillationTrainer:
                  mesh=None, canonical: bool = False,
                  pair_stride: Optional[int] = None,
                  sampler_matched: bool = False,
-                 student_params=None):
+                 student_params=None,
+                 regression: bool = False,
+                 student_timesteps=None,
+                 teacher_steps: Optional[int] = None,
+                 deterministic_teacher: bool = False,
+                 gt_weight: float = 0.0):
         from ..models.distillation import (create_distillation_state,
-                                           make_distillation_step)
+                                           make_distillation_step,
+                                           make_regression_distillation_step)
         from .train_state import make_optimizer
 
         self.config = config or TrainConfig()
@@ -362,16 +368,33 @@ class DistillationTrainer:
             init_from)
         self.state = create_distillation_state(
             teacher_params, student, tx, jax.random.key(self.config.seed))
-        self.step_fn = make_distillation_step(
-            model, schedule, ema_decay=ema_decay,
-            num_ddim_timesteps=num_ddim_timesteps,
-            num_inference_steps=self.config.num_inference_steps,
-            mesh=self.mesh, canonical=canonical, pair_stride=pair_stride,
-            sampler_matched=sampler_matched)
+        # Regression mode (sampler_regression_loss): the student trains —
+        # and must therefore be VALIDATED and sampled — on its own custom
+        # grid, not the stock lcm_timesteps grid.
+        self.student_timesteps = (tuple(int(t) for t in student_timesteps)
+                                  if student_timesteps is not None else None)
+        if regression:
+            self.step_fn = make_regression_distillation_step(
+                model, schedule, ema_decay=ema_decay,
+                teacher_steps=(teacher_steps
+                               or self.config.num_inference_steps),
+                student_timesteps=self.student_timesteps or (739,),
+                deterministic_teacher=deterministic_teacher,
+                gt_weight=gt_weight, mesh=self.mesh)
+            if self.student_timesteps is None:
+                self.student_timesteps = (739,)
+        else:
+            self.step_fn = make_distillation_step(
+                model, schedule, ema_decay=ema_decay,
+                num_ddim_timesteps=num_ddim_timesteps,
+                num_inference_steps=self.config.num_inference_steps,
+                mesh=self.mesh, canonical=canonical, pair_stride=pair_stride,
+                sampler_matched=sampler_matched)
         self._enhance = jax.jit(
             lambda params, k, x: enhance(
                 model, schedule, {"params": params}, k, x,
-                num_inference_steps=self.config.num_inference_steps))
+                num_inference_steps=self.config.num_inference_steps,
+                timesteps=self.student_timesteps))
         # Full-sampler val PSNR (per-image, vmapped) in ONE compiled program:
         # on the remote-compile backend every eager op is a separate compile,
         # so the metric must not run op-by-op (same pattern as
@@ -476,7 +499,14 @@ class DistillationTrainer:
                                  f"distill_samples_epoch_{epoch}.png"))
 
     def save_student(self, name: str):
-        ckpt.save_params(str(self.checkpoint_dir / name),
-                         self.state.ema_student_params,
+        path = self.checkpoint_dir / name
+        ckpt.save_params(str(path), self.state.ema_student_params,
                          config_json=to_json(self.model.config))
+        if self.student_timesteps is not None:
+            # Regression students are grid-bound: record the deployment
+            # timestep grid next to the params so inference/serving can pick
+            # it up (the stock lcm_timesteps grid would be wrong for them).
+            import json as _json
+            with open(path / "student_timesteps.json", "w") as f:
+                _json.dump({"timesteps": list(self.student_timesteps)}, f)
         print(f"Saved distilled student: {name}")

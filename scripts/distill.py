@@ -55,6 +55,25 @@ def main():
                    help="Distill over the deployed k-step LCM sampler's own "
                         "grid and stochastic renoise transitions instead of "
                         "DDIM trajectories")
+    p.add_argument("--regression", action="store_true",
+                   help="Sampler-to-sampler regression distillation: the "
+                        "student's FULL m-step sampler output (its own "
+                        "--student_timesteps grid) regresses onto the frozen "
+                        "teacher's full --teacher_steps sampler output. The "
+                        "1-step-student mode — the stock 1-step grid [19] is "
+                        "degenerate by construction (8.9 dB measured)")
+    p.add_argument("--student_timesteps", type=str, default="739",
+                   help="Comma-separated descending student grid for "
+                        "--regression (default '739': one high-t step)")
+    p.add_argument("--teacher_steps", type=int, default=None,
+                   help="Teacher sampler steps for --regression "
+                        "(default: --num_steps)")
+    p.add_argument("--deterministic_teacher", action="store_true",
+                   help="Use the renoise-free DDIM-style teacher sampler as "
+                        "the regression target")
+    p.add_argument("--gt_weight", type=float, default=0.0,
+                   help="Mix a ground-truth huber anchor into the "
+                        "regression loss: (1-w)*teacher + w*gt")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
@@ -71,7 +90,7 @@ def main():
                         "datasets on decode/upload-bound hosts")
     args = p.parse_args()
 
-    if not (args.canonical or args.sampler_matched):
+    if not (args.canonical or args.sampler_matched or args.regression):
         print(
             "WARNING: running with the reference-faithful timestep pairing "
             "(EMA target at the MORE-noised point, "
@@ -113,11 +132,19 @@ def main():
                       batch_size=args.batch_size, learning_rate=args.lr,
                       checkpoint_dir=args.checkpoint_dir,
                       output_dir=args.output_dir, seed=args.seed)
+    student_ts = None
+    if args.regression:
+        student_ts = tuple(
+            int(t) for t in args.student_timesteps.split(",") if t.strip())
     trainer = DistillationTrainer(
         model, schedule, teacher, train_loader, val_loader, cfg,
         num_ddim_timesteps=args.num_ddim_timesteps, ema_decay=args.ema_decay,
         canonical=args.canonical, pair_stride=args.pair_stride,
-        sampler_matched=args.sampler_matched, student_params=student)
+        sampler_matched=args.sampler_matched, student_params=student,
+        regression=args.regression, student_timesteps=student_ts,
+        teacher_steps=args.teacher_steps,
+        deterministic_teacher=args.deterministic_teacher,
+        gt_weight=args.gt_weight)
     trainer.train()
 
 

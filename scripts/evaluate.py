@@ -40,6 +40,11 @@ def main():
                    help="Renoise-free DDIM-style sampling (quality improves "
                         "monotonically with --num_steps; the stochastic LCM "
                         "sampler peaks at ~4 steps)")
+    p.add_argument("--timesteps", type=str, default=None,
+                   help="Comma-separated descending timestep grid overriding "
+                        "the stock LCM grid (for sampler-regression-"
+                        "distilled students; auto-detected from "
+                        "student_timesteps.json when present)")
     args = p.parse_args()
 
     import jax
@@ -70,11 +75,18 @@ def main():
                          augment_data=False)
     loader = DataLoader(ds, args.batch_size)
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from inference import parse_timesteps
+    timesteps = parse_timesteps(args.model, args.timesteps)
+    if timesteps is not None:
+        print(f"Timestep grid: {list(timesteps)}")
+
     from cv_diffusion_tpu.utils.compile_opts import tpu_compiler_options
     enh = jax.jit(lambda v, k, x: enhance(model, schedule, {"params": v}, k,
                                           x,
                                           num_inference_steps=args.num_steps,
-                                          deterministic=args.deterministic),
+                                          deterministic=args.deterministic,
+                                          timesteps=timesteps),
                   compiler_options=tpu_compiler_options())
 
     def per_image_metrics(out, target):

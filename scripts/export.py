@@ -39,6 +39,12 @@ def main():
                    help="Package the renoise-free DDIM-style sampler "
                         "(recorded in model_config.json; pipelines built "
                         "from the package inherit it)")
+    p.add_argument("--timesteps", type=str, default=None,
+                   help="Comma-separated descending timestep grid overriding "
+                        "the stock LCM grid (for sampler-regression-"
+                        "distilled students; auto-detected from the "
+                        "checkpoint's student_timesteps.json when present). "
+                        "Recorded in the package; pipelines inherit it")
     p.add_argument("--use_ema", action="store_true",
                    help="Export the EMA weights from a training checkpoint")
     p.add_argument("--benchmark", action="store_true",
@@ -62,11 +68,16 @@ def main():
     params = ckpt.load_inference_params(args.checkpoint, like,
                                         use_ema=args.use_ema)
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from inference import parse_timesteps
+    timesteps = parse_timesteps(args.checkpoint, args.timesteps)
+
     files = create_serving_package(
         args.output, model, schedule, params,
         num_inference_steps=args.num_steps, quantize=args.quantize,
         include_graph=args.graph, batch_size=args.batch_size,
-        dynamic_batch=args.dynamic_batch, deterministic=args.deterministic)
+        dynamic_batch=args.dynamic_batch, deterministic=args.deterministic,
+        timesteps=timesteps)
     print("Exported package:")
     for k, v in files.items():
         print(f"  {k}: {v}")

@@ -18,9 +18,34 @@ import numpy as np
 from PIL import Image
 
 
+def parse_timesteps(model_path, timesteps_arg):
+    """--timesteps grid, or the grid a regression-distilled student recorded
+    next to its checkpoint (student_timesteps.json) — serving such a student
+    on the stock grid would be wrong (its 1-step grid is e.g. [739])."""
+    if timesteps_arg:
+        return tuple(int(t) for t in timesteps_arg.split(",") if t.strip())
+    import json
+    marker = Path(model_path) / "student_timesteps.json"
+    if marker.exists():
+        with open(marker) as f:
+            ts = tuple(json.load(f)["timesteps"])
+        print(f"Using recorded student timestep grid: {list(ts)}")
+        return ts
+    # serving packages record the grid in model_config.json
+    pkg_cfg = Path(model_path) / "model_config.json"
+    if pkg_cfg.exists():
+        with open(pkg_cfg) as f:
+            ts = json.load(f).get("timesteps")
+        if ts:
+            print(f"Using package timestep grid: {list(ts)}")
+            return tuple(ts)
+    return None
+
+
 def load_pipeline(args):
     from cv_diffusion_tpu.export import ServingPipeline, ServingConfig
 
+    timesteps = parse_timesteps(args.model, args.timesteps)
     if args.format == "package":
         # The package records its own image size and step count
         # (model_config.json); CLI flags override only when passed (None
@@ -32,13 +57,15 @@ def load_pipeline(args):
             keep_aspect=not args.no_pad, seed=args.seed,
             batch_size=args.batch_size,
             deterministic=True if args.deterministic else None,
+            timesteps=timesteps,
             use_pallas=False if getattr(args, "no_pallas", False) else None)
 
     cfg = ServingConfig(image_size=args.image_size or 256,
                         num_inference_steps=args.num_steps or 4,
                         keep_aspect=not args.no_pad, seed=args.seed,
                         batch_size=args.batch_size,
-                        deterministic=args.deterministic)
+                        deterministic=args.deterministic,
+                        timesteps=timesteps)
     # training checkpoint → pipeline
     import jax
     from cv_diffusion_tpu.config import diffusion_config
@@ -100,6 +127,11 @@ def main():
     p.add_argument("--no_pallas", action="store_true",
                    help="Force the XLA attention path (the Pallas kernel "
                         "is the forward-only default, like serving packages)")
+    p.add_argument("--timesteps", type=str, default=None,
+                   help="Comma-separated descending timestep grid overriding "
+                        "the stock LCM grid (for sampler-regression-"
+                        "distilled students; auto-detected from "
+                        "student_timesteps.json when present)")
     p.add_argument("--deterministic", action="store_true",
                    help="Renoise-free DDIM-style sampling (quality improves "
                         "monotonically with --num_steps; the stochastic LCM "

@@ -193,3 +193,33 @@ def test_normalize_roundtrip():
                                np.asarray(x), atol=1e-7)
     assert float(normalize_image(jnp.asarray(0.0))) == -1.0
     assert float(normalize_image(jnp.asarray(1.0))) == 1.0
+
+
+def test_enhance_timesteps_override_matches_stock_grid(tiny_model):
+    """Passing the stock grid explicitly must reproduce the default path
+    exactly (same ts/prev_ts scan arrays, same RNG consumption)."""
+    model, schedule, variables = tiny_model
+    low, _ = _batch(jax.random.key(3))
+    grid = sched.lcm_timesteps(4, schedule.config.num_train_timesteps,
+                               schedule.config.original_inference_steps)
+    a = enhance(model, schedule, variables, jax.random.key(4), low,
+                num_inference_steps=4)
+    b = enhance(model, schedule, variables, jax.random.key(4), low,
+                timesteps=grid)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_enhance_custom_one_step_grid(tiny_model):
+    """A custom high-t 1-step grid ([739]) runs one UNet call and returns
+    x-hat-0 directly (prev_t == 0 terminal branch) — the deployment regime of
+    a sampler-regression-distilled student."""
+    model, schedule, variables = tiny_model
+    low, _ = _batch(jax.random.key(3))
+    out = enhance(model, schedule, variables, jax.random.key(4), low,
+                  timesteps=[739])
+    assert out.shape == low.shape
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+    # differs from the stock (degenerate) 1-step grid [19]
+    stock = enhance(model, schedule, variables, jax.random.key(4), low,
+                    num_inference_steps=1)
+    assert float(jnp.abs(out - stock).max()) > 1e-5

@@ -188,3 +188,55 @@ def test_sampler_matched_loss_finite(setup):
         batch["low_light"], batch["normal_light"], sampler_matched=True)
     assert np.isfinite(float(loss))
     assert float(loss) >= 0
+
+
+def test_sampler_regression_loss_finite_and_gt_anchor(setup):
+    from cv_diffusion_tpu.models.distillation import sampler_regression_loss
+    model, schedule, teacher, student = setup
+    batch = _batch(jax.random.key(5))
+    base = sampler_regression_loss(
+        model, schedule, teacher, student, jax.random.key(6),
+        batch["low_light"], batch["normal_light"],
+        teacher_steps=2, student_timesteps=(739,))
+    assert np.isfinite(float(base)) and float(base) >= 0
+    # the ground-truth anchor actually mixes in
+    anchored = sampler_regression_loss(
+        model, schedule, teacher, student, jax.random.key(6),
+        batch["low_light"], batch["normal_light"],
+        teacher_steps=2, student_timesteps=(739,), gt_weight=1.0)
+    assert float(anchored) != float(base)
+    # deterministic-teacher variant changes the target
+    det = sampler_regression_loss(
+        model, schedule, teacher, student, jax.random.key(6),
+        batch["low_light"], batch["normal_light"],
+        teacher_steps=2, student_timesteps=(739,),
+        deterministic_teacher=True)
+    assert np.isfinite(float(det))
+    assert float(det) != float(base)
+
+
+def test_regression_step_trains_student_only(setup):
+    from cv_diffusion_tpu.models import make_regression_distillation_step
+    model, schedule, teacher, student = setup
+    tx = optax.adamw(1e-4)
+    state = create_distillation_state(teacher, student, tx, jax.random.key(0))
+    step = make_regression_distillation_step(
+        model, schedule, teacher_steps=2, student_timesteps=(739,),
+        donate=False)
+    batch = _batch(jax.random.key(1))
+
+    s1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["grad_norm"]) > 0  # grads flow through the student sampler
+    assert int(s1.step) == 1
+
+    # teacher frozen
+    for a, b in zip(jax.tree_util.tree_leaves(state.teacher_params),
+                    jax.tree_util.tree_leaves(s1.teacher_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # student moved
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(state.student_params),
+                        jax.tree_util.tree_leaves(s1.student_params)))
+    assert moved

@@ -428,3 +428,32 @@ def test_compilation_cache_config(tmp_path, tiny):
     assert jax.config.jax_compilation_cache_dir == cache
     # cleanup for other tests (cache stays valid but unset globally)
     jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_timesteps_serving_package(tiny, tmp_path):
+    """A custom timestep grid (sampler-regression student deployment) is
+    recorded in model_config.json + noise_schedule.npz, inherited by
+    from_package pipelines, and actually drives the sampler."""
+    model, schedule, params = tiny
+    files = create_serving_package(
+        str(tmp_path / "pkgts"), model, schedule, params, timesteps=[739])
+    with open(files["config"]) as f:
+        cfg = json.load(f)
+    assert cfg["timesteps"] == [739]
+    assert cfg["num_inference_steps"] == 1  # derived from the grid
+    sched_npz = np.load(files["schedule"])
+    np.testing.assert_array_equal(sched_npz["timesteps"], [739])
+
+    pipe = ServingPipeline.from_package(str(tmp_path / "pkgts"))
+    assert pipe.config.timesteps == (739,)
+    img = np.full((40, 40, 3), 40, np.uint8)
+    a = pipe(img, seed=5)
+    assert a.shape == img.shape
+
+    # the grid changes the output vs the stock (degenerate) 1-step grid [19]
+    files_stock = create_serving_package(
+        str(tmp_path / "pkgts_stock"), model, schedule, params,
+        num_inference_steps=1)
+    pipe_stock = ServingPipeline.from_package(str(tmp_path / "pkgts_stock"))
+    b = pipe_stock(img, seed=5)
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() > 0

@@ -175,3 +175,37 @@ def test_distillation_best_student_selection(flat_dir, tmp_path):
         np.asarray(leaf(restored)))
     assert not np.array_equal(np.asarray(leaf(t2.state.student_params)),
                               np.asarray(leaf(teacher2)))
+
+
+def test_regression_distillation_trainer(flat_dir, tmp_path):
+    """Regression mode: the student trains and is VALIDATED on its own
+    custom grid (1-step [739]), and the saved checkpoint records the grid
+    (student_timesteps.json) so inference/serving pick it up."""
+    import json
+
+    import jax
+    from cv_diffusion_tpu.models import init_model
+    from cv_diffusion_tpu.training import DistillationTrainer
+
+    cfg = TrainConfig(
+        unet_variant="tiny", image_size=32, epochs=1, batch_size=4,
+        num_inference_steps=2, warmup_epochs=0, save_interval=100,
+        sample_interval=100, output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    train_loader, _ = create_dataloaders(str(flat_dir), None, batch_size=4,
+                                         image_size=32, use_synthetic=True)
+    model, schedule = create_model(diffusion_config("tiny", image_size=32))
+    teacher = init_model(model, jax.random.key(0))["params"]
+    trainer = DistillationTrainer(
+        model, schedule, teacher, train_loader, config=cfg, mesh=False,
+        regression=True, student_timesteps=(739,), teacher_steps=2,
+        gt_weight=0.25)
+    assert trainer.student_timesteps == (739,)
+    trainer.train()
+
+    final = tmp_path / "ckpt" / "student_final"
+    assert final.exists()
+    marker = final / "student_timesteps.json"
+    assert marker.exists()
+    with open(marker) as f:
+        assert json.load(f)["timesteps"] == [739]
