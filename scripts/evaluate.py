@@ -30,6 +30,15 @@ def main():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", type=int, default=1,
+                   help="Number of eval seeds (seed..seed+N-1). Sampler "
+                        "noise swings per-config means by ~0.2 dB "
+                        "(BENCHMARKS.md), so any quality COMPARISON needs "
+                        "N>=5: reports per-seed means and mean±std across "
+                        "seeds")
+    p.add_argument("--json", type=str, default=None,
+                   help="Write per-image per-seed metrics as JSON (for "
+                        "paired-delta comparison via compare_eval.py)")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--save_outputs", type=str, default=None,
                    help="Optionally write enhanced PNGs here")
@@ -108,45 +117,94 @@ def main():
     metrics_fn = jax.jit(per_image_metrics,
                          compiler_options=tpu_compiler_options())
 
-    psnrs, ssims, maes = [], [], []
-    rng = jax.random.key(args.seed)
-    idx = 0
-    for batch in loader:
-        rng, k = jax.random.split(rng)
-        low_np = np.asarray(batch["low_light"])
-        tgt_np = np.asarray(batch["normal_light"])
-        # Pad a ragged final batch to the compiled batch size ON THE HOST —
-        # the jitted sampler is shape-specialized and a (n<batch) straggler
-        # would recompile the whole 4-step graph (minutes on TPU).
-        n_valid = low_np.shape[0]
-        if n_valid < args.batch_size:
-            pad = np.zeros((args.batch_size - n_valid,) + low_np.shape[1:],
-                           low_np.dtype)
-            low_np = np.concatenate([low_np, pad])
-            tgt_np = np.concatenate([tgt_np, pad.astype(tgt_np.dtype)])
-        out = enh(params, k, jnp.asarray(low_np))
-        (m_psnr, m_ssim, m_mae), pred_u8 = metrics_fn(out, jnp.asarray(tgt_np))
-        m_psnr, m_ssim, m_mae = (np.asarray(m_psnr)[:n_valid],
-                                 np.asarray(m_ssim)[:n_valid],
-                                 np.asarray(m_mae)[:n_valid])
-        # fetch the full (padded) uint8 batch, slice host-side: a device
-        # [:n] slice would be another remote compile per distinct n
-        pred_u8 = np.asarray(pred_u8)[:n_valid] if args.save_outputs else None
-        for i in range(n_valid):
-            psnrs.append(float(m_psnr[i]))
-            ssims.append(float(m_ssim[i]))
-            maes.append(float(m_mae[i]))
-            print(f"{batch['filenames'][i]}: psnr={psnrs[-1]:.2f} dB  "
-                  f"ssim={ssims[-1]:.4f}")
-            if args.save_outputs:
-                from PIL import Image
-                outdir = Path(args.save_outputs)
-                outdir.mkdir(parents=True, exist_ok=True)
-                Image.fromarray(pred_u8[i]).save(outdir / batch["filenames"][i])
-            idx += 1
+    # Outer loop over eval seeds: the compiled sampler/metrics programs are
+    # shape-specialized once and reused across seeds, so extra seeds cost
+    # only device time (~seconds each), never a recompile.
+    per_seed = {}  # seed -> {"psnr": [...], "ssim": [...], "mae": [...],
+    #                         "files": [...]}
+    for seed in range(args.seed, args.seed + args.seeds):
+        psnrs, ssims, maes, files = [], [], [], []
+        rng = jax.random.key(seed)
+        idx = 0
+        for batch in loader:
+            rng, k = jax.random.split(rng)
+            low_np = np.asarray(batch["low_light"])
+            tgt_np = np.asarray(batch["normal_light"])
+            # Pad a ragged final batch to the compiled batch size ON THE
+            # HOST — the jitted sampler is shape-specialized and a
+            # (n<batch) straggler would recompile the whole 4-step graph
+            # (minutes on TPU).
+            n_valid = low_np.shape[0]
+            if n_valid < args.batch_size:
+                pad = np.zeros(
+                    (args.batch_size - n_valid,) + low_np.shape[1:],
+                    low_np.dtype)
+                low_np = np.concatenate([low_np, pad])
+                tgt_np = np.concatenate([tgt_np, pad.astype(tgt_np.dtype)])
+            out = enh(params, k, jnp.asarray(low_np))
+            (m_psnr, m_ssim, m_mae), pred_u8 = metrics_fn(
+                out, jnp.asarray(tgt_np))
+            m_psnr, m_ssim, m_mae = (np.asarray(m_psnr)[:n_valid],
+                                     np.asarray(m_ssim)[:n_valid],
+                                     np.asarray(m_mae)[:n_valid])
+            # fetch the full (padded) uint8 batch, slice host-side: a device
+            # [:n] slice would be another remote compile per distinct n
+            save_now = args.save_outputs and seed == args.seed
+            pred_u8 = np.asarray(pred_u8)[:n_valid] if save_now else None
+            for i in range(n_valid):
+                psnrs.append(float(m_psnr[i]))
+                ssims.append(float(m_ssim[i]))
+                maes.append(float(m_mae[i]))
+                files.append(batch["filenames"][i])
+                if args.seeds == 1:
+                    print(f"{batch['filenames'][i]}: psnr={psnrs[-1]:.2f} dB"
+                          f"  ssim={ssims[-1]:.4f}")
+                if save_now:
+                    from PIL import Image
+                    outdir = Path(args.save_outputs)
+                    outdir.mkdir(parents=True, exist_ok=True)
+                    Image.fromarray(pred_u8[i]).save(
+                        outdir / batch["filenames"][i])
+                idx += 1
+        per_seed[seed] = {"psnr": psnrs, "ssim": ssims, "mae": maes,
+                          "files": files}
+        print(f"seed {seed}: {idx} images | "
+              f"PSNR {np.mean(psnrs):.2f} ± {np.std(psnrs):.2f} dB | "
+              f"SSIM {np.mean(ssims):.4f} | MAE {np.mean(maes):.4f}")
 
-    print(f"\n{idx} images | PSNR {np.mean(psnrs):.2f} ± {np.std(psnrs):.2f} dB"
-          f" | SSIM {np.mean(ssims):.4f} | MAE {np.mean(maes):.4f}")
+    seed_means = [np.mean(per_seed[s]["psnr"]) for s in per_seed]
+    seed_ssims = [np.mean(per_seed[s]["ssim"]) for s in per_seed]
+    if args.seeds > 1:
+        print(f"\n{args.seeds} seeds | "
+              f"PSNR {np.mean(seed_means):.2f} ± {np.std(seed_means):.2f} dB"
+              f" (across-seed std of means) | "
+              f"SSIM {np.mean(seed_ssims):.4f} ± {np.std(seed_ssims):.4f}")
+    else:
+        s = args.seed
+        print(f"\n{len(per_seed[s]['psnr'])} images | "
+              f"PSNR {np.mean(per_seed[s]['psnr']):.2f} ± "
+              f"{np.std(per_seed[s]['psnr']):.2f} dB | "
+              f"SSIM {np.mean(per_seed[s]['ssim']):.4f} | "
+              f"MAE {np.mean(per_seed[s]['mae']):.4f}")
+
+    if args.json:
+        import json
+        payload = {
+            "model": args.model, "variant": args.variant,
+            "image_size": args.image_size, "num_steps": args.num_steps,
+            "deterministic": args.deterministic,
+            "timesteps": None if timesteps is None else
+            [int(t) for t in timesteps],
+            "seeds": {str(s): {k: per_seed[s][k] for k in
+                               ("psnr", "ssim", "mae", "files")}
+                      for s in per_seed},
+            "summary": {"psnr_mean": float(np.mean(seed_means)),
+                        "psnr_std_across_seeds": float(np.std(seed_means)),
+                        "ssim_mean": float(np.mean(seed_ssims))},
+        }
+        Path(args.json).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.json).write_text(json.dumps(payload, indent=1))
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
