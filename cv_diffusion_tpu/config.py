@@ -313,6 +313,20 @@ class TrainConfig:
     # derives names from the shape's rank (('data',) / ('data','spatial')).
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axes: Optional[Tuple[str, ...]] = None
+    # Quantization-aware training: the jitted step fake-quantizes weights
+    # (int8 symmetric, STE backward — export/qat.py) with the SAME
+    # scale/skip rules the post-training int8 export applies, so trained
+    # weights land on representable grid points. The reference declares QAT
+    # but never invokes it (``src/export/quantization.py:274-311``).
+    qat: bool = False
+    # Warm-start params (and EMA) from an existing checkpoint WITHOUT
+    # restoring optimizer state or epoch — the fine-tuning entry (QAT
+    # fine-tune of a trained model, staged training). Unlike resume_from,
+    # training starts at epoch 0 with a fresh optimizer/LR schedule.
+    init_params_from: Optional[str] = None
+    # Load the checkpoint's EMA weights (the deployed ones) as the starting
+    # params when warm-starting.
+    init_params_ema: bool = False
 
 
 @dataclass(frozen=True)

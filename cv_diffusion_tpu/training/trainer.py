@@ -100,8 +100,33 @@ class Trainer:
         self.state = create_train_state(model, self.config, rng,
                                         steps_per_epoch=len(train_loader),
                                         tx=tx)
-        self.train_step = make_train_step(model, schedule, self.config,
-                                          mesh=self.mesh)
+        if self.config.init_params_from:
+            # Fine-tuning warm start: params (+ EMA copy) from an existing
+            # checkpoint, fresh optimizer/LR/epoch (unlike resume).
+            like = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype), self.state.params)
+            loaded = ckpt.load_inference_params(
+                self.config.init_params_from, like,
+                use_ema=self.config.init_params_ema)
+            # jitted re-init keeps opt_state/EMA consistent with the loaded
+            # weights in one program (no eager per-leaf device ops)
+            @jax.jit
+            def rebuild(p):
+                from .ema import init_ema
+                return (tx.init(p),
+                        init_ema(p) if self.config.use_ema else None)
+            opt_state, ema = rebuild(loaded)
+            self.state = self.state.replace(params=loaded,
+                                            opt_state=opt_state,
+                                            ema_params=ema)
+        if self.config.qat:
+            from ..export.qat import make_qat_train_step
+            self.train_step = make_qat_train_step(model, schedule,
+                                                  self.config,
+                                                  mesh=self.mesh)
+        else:
+            self.train_step = make_train_step(model, schedule, self.config,
+                                              mesh=self.mesh)
         self.eval_step = make_eval_step(model, schedule, self.config,
                                         mesh=self.mesh)
         self._enhance_cache: Dict[int, Any] = {}

@@ -42,6 +42,9 @@ _FLAG_TO_FIELD = {
     "remat": "remat",
     "grad_accum": "grad_accum_steps",
     "data_on_device": "data_on_device",
+    "qat": "qat",
+    "init_params": "init_params_from",
+    "init_ema": "init_params_ema",
 }
 
 
@@ -153,6 +156,18 @@ def build_parser():
     p.add_argument("--wandb_project", type=str,
                    default="low-light-diffusion-tpu")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--qat", action="store_true",
+                   help="Quantization-aware training: fake-quantize weights "
+                        "in the forward pass (int8 STE, same scale/skip "
+                        "rules as the int8 export) — fine-tune before an "
+                        "int8 serving export")
+    p.add_argument("--init_params", type=str, default=None,
+                   help="Warm-start params (+EMA) from a checkpoint with a "
+                        "FRESH optimizer/epoch (fine-tuning; unlike "
+                        "--resume)")
+    p.add_argument("--init_ema", action="store_true",
+                   help="With --init_params: start from the checkpoint's "
+                        "EMA (deployed) weights")
     p.add_argument("--distributed", action="store_true",
                    help="Multi-host: jax.distributed.initialize from "
                         "CVDM_COORDINATOR/CVDM_NUM_PROCESSES/CVDM_PROCESS_ID "

@@ -325,6 +325,43 @@ def test_spatial_sharded_unet_forward_small128():
                                atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
+def test_spatial_sharded_unet_forward_small512():
+    """SURVEY §7 hard part — 512² linear-attention memory: the FULL small
+    UNet at 512² spatially sharded 8-way must match unsharded output.
+
+    At 512² the deepest attention stage holds 4096 tokens; sharded 8-way
+    each device sees a 512-token strip and the linear-attention global
+    k·v/k-sum reductions cross shard boundaries (1 psum each on the
+    token-sharded path), so this exercises the collective pattern at the
+    resolution SURVEY names, not a scaled-down stand-in."""
+    cfg = diffusion_config("small", image_size=512, dtype="float32")
+    model, _ = create_model(cfg)
+    variables = jax.jit(lambda k: init_model(model, k))(jax.random.key(0))
+
+    rng = np.random.default_rng(17)
+    noisy = rng.normal(size=(1, 512, 512, 3)).astype(np.float32)
+    low = rng.uniform(-1, 0, (1, 512, 512, 3)).astype(np.float32)
+    t = np.asarray([350], np.int32)
+
+    def fwd(v, n, c, tt):
+        return model.apply(v, n, c, tt, train=False)
+
+    ref = jax.jit(fwd)(variables, noisy, low, t)
+
+    mesh = make_mesh((1, 8))
+    bsh = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    sharded_fwd = jax.jit(fwd, in_shardings=(repl, bsh, bsh, repl),
+                          out_shardings=bsh)
+    got = sharded_fwd(jax.device_put(variables, repl),
+                      jax.device_put(noisy, bsh),
+                      jax.device_put(low, bsh),
+                      jax.device_put(t, repl))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-3)
+
+
 def test_sharded_serving_fn(tiny_training):
     """DP serving: params replicated, batch sharded, linear in chips."""
     from cv_diffusion_tpu.parallel import make_sharded_sample_fn

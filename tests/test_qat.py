@@ -84,3 +84,48 @@ def test_calibrate_activations():
     assert len(scales) > 10          # one entry per module output
     assert all(v >= 0 for v in scales.values())
     assert any("mid_attn" in k for k in scales)
+
+
+def test_trainer_qat_warm_start(tmp_path):
+    """End-to-end QAT fine-tune wiring (TrainConfig.qat +
+    init_params_from): the Trainer warm-starts params from an existing
+    checkpoint with a fresh optimizer/epoch and trains through the
+    fake-quant step."""
+    from PIL import Image
+
+    from cv_diffusion_tpu.data import create_dataloaders
+    from cv_diffusion_tpu.training import Trainer
+    from cv_diffusion_tpu.training import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"n_{i}.png")
+
+    cfg = diffusion_config("tiny", image_size=32)
+    model, schedule = create_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    ckpt.save_params(str(tmp_path / "warm"), variables["params"])
+
+    tcfg = TrainConfig(unet_variant="tiny", image_size=32, epochs=1,
+                       batch_size=4, warmup_epochs=0, qat=True,
+                       init_params_from=str(tmp_path / "warm"),
+                       sample_interval=10**9, save_interval=10**9,
+                       output_dir=str(tmp_path / "out"),
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    train_loader, _ = create_dataloaders(str(d), None, batch_size=4,
+                                         image_size=32, use_synthetic=True)
+    trainer = Trainer(model, schedule, train_loader, None, tcfg, mesh=None)
+
+    # warm start actually loaded the checkpoint weights
+    first = jax.tree_util.tree_leaves(variables["params"])[0]
+    got = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(first), np.asarray(got))
+
+    trainer.train()
+    assert int(trainer.state.step) == len(train_loader)
+    # training moved the weights (through the STE step)
+    after = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert not np.array_equal(np.asarray(first), np.asarray(after))
