@@ -46,6 +46,9 @@ BASELINE_IMG_PER_SEC = 5000.0
 
 
 def main():
+    from cv_diffusion_tpu.utils.compile_opts import (
+        maybe_enable_compilation_cache)
+    maybe_enable_compilation_cache()  # CVDM_COMPILE_CACHE=<dir>
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="small")
     p.add_argument("--image-size", type=int, default=256)

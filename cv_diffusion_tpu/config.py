@@ -187,11 +187,14 @@ class DiffusionConfig:
 def diffusion_config(unet_variant: str = "small", image_size: int = 256,
                      num_inference_steps: int = 4,
                      condition_mode: str = "concat",
+                     prediction_type: str = "epsilon",
                      **unet_overrides) -> DiffusionConfig:
     in_channels = 6 if condition_mode == "concat" else 3
     return DiffusionConfig(
         unet=unet_config(unet_variant, image_size=image_size,
                          in_channels=in_channels, **unet_overrides),
+        scheduler=SchedulerConfig(rescale_betas_zero_snr=True,
+                                  prediction_type=prediction_type),
         image_size=image_size,
         num_inference_steps=num_inference_steps,
         condition_mode=condition_mode,
@@ -327,6 +330,11 @@ class TrainConfig:
     # Load the checkpoint's EMA weights (the deployed ones) as the starting
     # params when warm-starting.
     init_params_ema: bool = False
+    # What the UNet predicts: "epsilon" (reference default) or
+    # "v_prediction" (velocity — better-conditioned targets near the
+    # zero-terminal-SNR endpoint; the reference defines get_velocity but
+    # never trains with it, ``src/models/lcm_scheduler.py:227-244``).
+    prediction_type: str = "epsilon"
 
 
 @dataclass(frozen=True)

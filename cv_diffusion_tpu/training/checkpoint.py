@@ -174,6 +174,32 @@ def load_inference_params(path: str, params_like=None, *,
         return raw[key]
 
 
+def load_prediction_type(path: str) -> Optional[str]:
+    """Detect the prediction target a checkpoint/package was trained with.
+
+    Looks in ``model_config.json`` (serving packages: scheduler section)
+    then ``trainer_meta.json`` (training checkpoints: TrainConfig). Returns
+    None when neither records it (pre-round-4 checkpoints → epsilon) —
+    loading a v-prediction model as epsilon silently produces garbage, so
+    the CLIs auto-detect via this instead of trusting their default."""
+    path = os.path.abspath(path)
+    cfg = load_model_config(path)
+    if cfg:
+        # package layout: {"model": {... "scheduler": {...}}, ...}
+        sched = (cfg.get("model") or {}).get("scheduler") or \
+            cfg.get("scheduler") or {}
+        pt = sched.get("prediction_type")
+        if pt:
+            return pt
+    for meta_dir in (path, os.path.dirname(path)):
+        p = os.path.join(meta_dir, META_FILE)
+        if os.path.exists(p):
+            with open(p) as f:
+                meta = json.load(f)
+            return meta.get("config", {}).get("prediction_type")
+    return None
+
+
 def load_model_config(path: str) -> Optional[dict]:
     p = os.path.join(os.path.abspath(path), "model_config.json")
     if os.path.exists(p):

@@ -334,6 +334,7 @@ def train_model(train_data_dir: str, val_data_dir: Optional[str] = None,
     dtype = "bfloat16" if config.use_amp else "float32"
     model_cfg = diffusion_config(config.unet_variant, config.image_size,
                                  config.num_inference_steps, dtype=dtype,
+                                 prediction_type=config.prediction_type,
                                  use_pallas=config.use_pallas,
                                  remat=config.remat)
     model, schedule = create_model(model_cfg)

@@ -65,9 +65,15 @@ def main():
     from cv_diffusion_tpu.training import checkpoint as ckpt
     from cv_diffusion_tpu.training.metrics import psnr, ssim, mae
 
+    # v-prediction checkpoints silently produce garbage when sampled as
+    # epsilon — auto-detect the trained prediction target from the artifact
+    pred_type = ckpt.load_prediction_type(args.model) or "epsilon"
+    if pred_type != "epsilon":
+        print(f"Prediction type: {pred_type} (auto-detected)")
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
                                  num_inference_steps=args.num_steps,
                                  dtype=args.dtype,
+                                 prediction_type=pred_type,
                                  use_pallas=not args.no_pallas)
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))

@@ -59,7 +59,9 @@ def main():
                                          ServingPipeline, ServingConfig)
 
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
-                                 num_inference_steps=args.num_steps)
+                                 num_inference_steps=args.num_steps,
+                                 prediction_type=ckpt.load_prediction_type(
+                                     args.checkpoint) or "epsilon")
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
     like = jax.tree_util.tree_map(

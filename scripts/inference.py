@@ -77,6 +77,8 @@ def load_pipeline(args):
                                  image_size=cfg.image_size,
                                  num_inference_steps=cfg.num_inference_steps,
                                  dtype=args.dtype,
+                                 prediction_type=ckpt.load_prediction_type(
+                                     args.model) or "epsilon",
                                  use_pallas=not args.no_pallas)
     model, schedule = create_model(model_cfg)
     like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))

@@ -43,6 +43,7 @@ _FLAG_TO_FIELD = {
     "grad_accum": "grad_accum_steps",
     "data_on_device": "data_on_device",
     "qat": "qat",
+    "prediction": "prediction_type",
     "init_params": "init_params_from",
     "init_ema": "init_params_ema",
 }
@@ -156,6 +157,11 @@ def build_parser():
     p.add_argument("--wandb_project", type=str,
                    default="low-light-diffusion-tpu")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--prediction", type=str, default="epsilon",
+                   choices=("epsilon", "v_prediction"),
+                   help="UNet prediction target (v_prediction: velocity — "
+                        "better-conditioned near the zero-terminal-SNR "
+                        "endpoint)")
     p.add_argument("--qat", action="store_true",
                    help="Quantization-aware training: fake-quantize weights "
                         "in the forward pass (int8 STE, same scale/skip "

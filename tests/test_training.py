@@ -411,3 +411,33 @@ def test_grad_accum_indivisible_batch_raises(tiny_setup):
     step = make_train_step(model, schedule, cfg, donate=False)
     with pytest.raises(ValueError, match="divisible"):
         step(state, _batch(jax.random.key(1), b=3))
+
+
+def test_load_prediction_type_roundtrip(tmp_path):
+    """CLIs auto-detect the trained prediction target from either artifact
+    layout (v-prediction sampled as epsilon is silent garbage)."""
+    from cv_diffusion_tpu.config import DiffusionConfig
+    from cv_diffusion_tpu.training import checkpoint as ckpt
+
+    # serving-package layout: model_config.json with a scheduler section
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    cfg = diffusion_config("tiny", image_size=32,
+                           prediction_type="v_prediction")
+    (pkg / "model_config.json").write_text(
+        json.dumps({"model": json.loads(to_json(cfg))}))
+    assert ckpt.load_prediction_type(str(pkg)) == "v_prediction"
+    assert cfg.scheduler.prediction_type == "v_prediction"
+
+    # training-checkpoint layout: trainer_meta.json with a TrainConfig
+    run = tmp_path / "run"
+    run.mkdir()
+    tcfg = TrainConfig(unet_variant="tiny", prediction_type="v_prediction")
+    (run / "trainer_meta.json").write_text(
+        json.dumps({"epoch": 0, "config": json.loads(to_json(tcfg))}))
+    assert ckpt.load_prediction_type(str(run)) == "v_prediction"
+
+    # absent everywhere -> None (pre-round-4 checkpoints mean epsilon)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert ckpt.load_prediction_type(str(empty)) is None
