@@ -77,6 +77,13 @@ def main():
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="Compute dtype for the distillation forwards. "
+                        "float32 (default) matches the round-3 runs; "
+                        "bfloat16 trains the student in the SERVING dtype "
+                        "(a student validated in f32 can lose ~0.8 dB when "
+                        "sampled in bf16 — measured round 4)")
     p.add_argument("--use_pallas", action="store_true",
                    help="Pallas linear-attention kernel for the teacher/"
                         "student/EMA forwards (custom VJP covers the "
@@ -110,6 +117,7 @@ def main():
 
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
                                  num_inference_steps=args.num_steps,
+                                 dtype=args.dtype,
                                  use_pallas=args.use_pallas,
                                  remat=args.remat)
     model, schedule = create_model(model_cfg)

@@ -156,6 +156,7 @@ def test_create_dataloaders_device_cache(paired_dir):
     assert isinstance(batch["low_light"], jax.Array)
 
 
+@pytest.mark.slow
 def test_trainer_runs_with_device_cache(paired_dir):
     """One real Trainer epoch consuming device-resident batches."""
     from cv_diffusion_tpu.config import TrainConfig, diffusion_config

@@ -84,6 +84,7 @@ def test_enhance_sizes_latents_from_input(tiny_model):
     assert out.shape == (1, 64, 48, 3)
 
 
+@pytest.mark.slow
 def test_enhance_deterministic_given_key(tiny_model):
     model, schedule, variables = tiny_model
     low, _ = _batch(jax.random.key(3))
@@ -97,6 +98,7 @@ def test_enhance_deterministic_given_key(tiny_model):
     assert float(jnp.abs(a - c).max()) > 1e-5
 
 
+@pytest.mark.slow
 def test_enhance_deterministic_mode(tiny_model):
     """deterministic=True: same init latents → same output regardless of the
     step_noise tensor (no renoise), equals an explicit ddim_step loop, and
@@ -195,6 +197,7 @@ def test_normalize_roundtrip():
     assert float(normalize_image(jnp.asarray(1.0))) == 1.0
 
 
+@pytest.mark.slow
 def test_enhance_timesteps_override_matches_stock_grid(tiny_model):
     """Passing the stock grid explicitly must reproduce the default path
     exactly (same ts/prev_ts scan arrays, same RNG consumption)."""

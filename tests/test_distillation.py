@@ -110,6 +110,7 @@ def test_distillation_loss_zero_when_student_is_target_far_noised(setup):
     assert float(l1) != float(l2)
 
 
+@pytest.mark.slow
 def test_distillation_step_trains_student_only(setup):
     model, schedule, teacher, student = setup
     tx = optax.adamw(1e-4)
@@ -139,6 +140,7 @@ def test_distillation_step_trains_student_only(setup):
     assert float(jnp.abs(e - new).max()) > 0
 
 
+@pytest.mark.slow
 def test_ema_decay_095_semantics(setup):
     """Distillation EMA decay is 0.95 (``lcm_scheduler.py:323``), far faster
     than the trainer's 0.9999."""
@@ -190,6 +192,7 @@ def test_sampler_matched_loss_finite(setup):
     assert float(loss) >= 0
 
 
+@pytest.mark.slow
 def test_sampler_regression_loss_finite_and_gt_anchor(setup):
     from cv_diffusion_tpu.models.distillation import sampler_regression_loss
     model, schedule, teacher, student = setup
@@ -215,6 +218,7 @@ def test_sampler_regression_loss_finite_and_gt_anchor(setup):
     assert float(det) != float(base)
 
 
+@pytest.mark.slow
 def test_regression_step_trains_student_only(setup):
     from cv_diffusion_tpu.models import make_regression_distillation_step
     model, schedule, teacher, student = setup

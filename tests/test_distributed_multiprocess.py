@@ -20,6 +20,11 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# Two real OS processes + a jax.distributed coordinator: ~7 min wall. The
+# quick tier keeps cross-process coverage via test_parallel's in-process
+# sharding tests; this file is the deep (true multi-process) variant.
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 # Executed in each spawned process. Env (set by the harness, NOT conftest):

@@ -84,6 +84,7 @@ def test_quantize_bf16(tiny):
         assert leaf.dtype == (jnp.float32 if skipped else jnp.bfloat16), name
 
 
+@pytest.mark.slow
 def test_quantize_int8_roundtrip(tiny):
     _, _, params = tiny
     q = quantize_int8(params)
@@ -173,6 +174,7 @@ def test_serving_pipeline_commits_params_to_device(tiny):
                for l in jax.tree_util.tree_leaves(pipe.params))
 
 
+@pytest.mark.slow
 def test_serving_pipeline_batch(tiny):
     """batch(): fixed-size padded batches, outputs in order, uint8."""
     model, schedule, params = tiny
@@ -242,6 +244,7 @@ def test_serving_pipeline_batch_bounded_window(tiny):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_serving_explicit_seed_is_reproducible(tiny):
     """An explicit per-call seed must reproduce exactly, regardless of how
     many calls advanced the pipeline's internal counter before it (the
@@ -328,6 +331,7 @@ def test_stablehlo_export_and_reload(tiny, tmp_path):
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
 
 
+@pytest.mark.slow
 def test_stablehlo_dynamic_batch(tiny, tmp_path):
     """One dynamic-batch artifact serves b1 AND b4 (parity with the
     reference's dynamic ONNX batch axes, ``onnx_export.py:143-147``) and
@@ -358,6 +362,7 @@ def test_stablehlo_dynamic_batch(tiny, tmp_path):
     np.testing.assert_allclose(out1, out1_static, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_deterministic_serving_package(tiny, tmp_path):
     """deterministic=True is recorded in model_config.json, inherited by
     from_package pipelines, and changes the sampler (renoise-free DDIM vs
@@ -385,6 +390,7 @@ def test_deterministic_serving_package(tiny, tmp_path):
     assert np.abs(a.astype(np.int32) - c.astype(np.int32)).max() > 0
 
 
+@pytest.mark.slow
 def test_package_dynamic_batch_graph(tiny, tmp_path):
     """create_serving_package(dynamic_batch=True) records the dynamic axis
     and ships a graph that runs at more than one batch size."""

@@ -28,6 +28,7 @@ def test_entry_compiles(graft):
     jax.jit(fn).lower(*args)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_two_devices(graft):
     # the driver calls this with N virtual devices; 2 keeps the test fast
     graft.dryrun_multichip(2)

@@ -35,6 +35,7 @@ def _batches(n, b=2, s=32):
     return out
 
 
+@pytest.mark.slow
 def test_params_are_structurally_identical(setup):
     cfg, model, schedule, params, qmodel = setup
     qvars = init_model(qmodel, jax.random.key(0))
@@ -66,6 +67,7 @@ def test_assert_calibrated_raises_before_calibration(setup):
         assert_calibrated(qvars["act_scales"])
 
 
+@pytest.mark.slow
 def test_calibration_and_int8_forward_accuracy(setup):
     cfg, model, schedule, params, qmodel = setup
     scales = calibrate_act_scales(qmodel, schedule, params, _batches(3))
@@ -105,6 +107,7 @@ def test_uncalibrated_modules_fall_back_to_dynamic_scales(setup):
     assert err < 0.15, f"uncalibrated int8 diverged from float: MAE {err:.3f}"
 
 
+@pytest.mark.slow
 def test_int8_act_serving_package_roundtrip(setup, tmp_path):
     from cv_diffusion_tpu.export.serving import (create_serving_package,
                                                  load_serving_package,
@@ -131,6 +134,7 @@ def test_int8_act_serving_package_roundtrip(setup, tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_int8_act_graph_traces_int8_compute(setup, tmp_path):
     """include_graph on an int8_act package must serialize the QUANTIZED
     sampler (traced through the act_quant model with the calibrated

@@ -81,6 +81,7 @@ def test_linear_attention_pallas_grad_matches_xla(shape):
                                    atol=5e-4, err_msg=f"d{name}")
 
 
+@pytest.mark.slow
 def test_unet_train_grads_flow_through_pallas_attention():
     """use_pallas no longer gates to XLA in train mode: grads are finite and
     close to the XLA-path grads through the full tiny UNet."""
@@ -258,6 +259,7 @@ class TestFusedIRBv2(TestFusedIRB):
                                    atol=2e-4)
 
 
+@pytest.mark.slow
 def test_unet_with_use_pallas_irb_flag():
     """use_pallas_irb routes every stride-1 IRB through fused_irb_v2 at
     inference; outputs must match the XLA path on the same params."""

@@ -5,7 +5,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
 from jax.sharding import PartitionSpec as P
 
 from cv_diffusion_tpu.config import TrainConfig, diffusion_config
@@ -100,6 +99,7 @@ def test_dp_train_step_matches_single_device(tiny_training):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_train_step(tiny_training):
     """data×spatial mesh: XLA handles conv halo exchange; loss must match."""
     model, schedule, variables, tcfg = tiny_training
@@ -118,6 +118,7 @@ def test_spatial_sharded_train_step(tiny_training):
     assert float(m["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_train_step_with_pallas_attention(tiny_training):
     """use_pallas composes with a data×spatial mesh: pallas_call operands
     get gathered/replicated by SPMD where needed, and the sharded-Pallas
@@ -265,6 +266,7 @@ def test_distributed_init_noop_single_process(monkeypatch):
     assert len(jax.devices()) == 8  # runtime untouched
 
 
+@pytest.mark.slow
 def test_serving_scaling_1_to_8(tiny_training):
     """DP serving scaling shape on the virtual CPU mesh (1→8 devices):
     identical results at every mesh size, output sharded over data.
@@ -422,6 +424,7 @@ def test_distributed_init_coordinator_requires_process_info(monkeypatch):
         distributed_init(coordinator_address="host:1234")
 
 
+@pytest.mark.slow
 def test_sharded_serving_fn_accepts_variables_dict():
     """int8_act packages carry {'params': ..., 'act_scales': ...}; the
     sharded sampler must accept the full variables dict exactly like the
@@ -450,6 +453,7 @@ def test_sharded_serving_fn_accepts_variables_dict():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_grad_accum_remat_train_step_on_mesh():
     """grad_accum × remat × DP mesh compose: the sharded accumulated step
     reproduces the single-device accumulated step (same RNG contract)."""

@@ -49,6 +49,7 @@ def test_fake_quant_params_skips_norms():
     assert out["norm1"]["scale"] is params["norm1"]["scale"]
 
 
+@pytest.mark.slow
 def test_qat_train_step_runs():
     cfg = diffusion_config("tiny", image_size=32)
     model, schedule = create_model(cfg)
@@ -86,6 +87,7 @@ def test_calibrate_activations():
     assert any("mid_attn" in k for k in scales)
 
 
+@pytest.mark.slow
 def test_trainer_qat_warm_start(tmp_path):
     """End-to-end QAT fine-tune wiring (TrainConfig.qat +
     init_params_from): the Trainer warm-starts params from an existing

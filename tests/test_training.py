@@ -106,6 +106,7 @@ def test_ema_init_is_a_copy():
     assert ema["w"] is not params["w"]
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_decreases_loss(tiny_setup):
     model, schedule, variables = tiny_setup
     cfg = _train_cfg()
@@ -151,6 +152,7 @@ def test_eval_step_is_mse(tiny_setup):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_no_ema_config(tiny_setup):
     model, schedule, variables = tiny_setup
     cfg = _train_cfg(use_ema=False)
@@ -352,6 +354,7 @@ def test_ema_warmup_decay():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_manual_average(tiny_setup):
     """grad_accum_steps=2 must equal ONE optimizer update on the averaged
     micro-batch grads, with the same per-micro RNG streams the step derives

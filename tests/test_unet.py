@@ -116,6 +116,7 @@ def test_split_skip_matches_concat():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_split_skip_grads_match():
     """The rewrite must also be autodiff-equivalent (it may be enabled for
     training if it measures faster there)."""
@@ -160,6 +161,7 @@ def test_concat_group_norm_parts_matches_group_norm():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_forward():
     unet = create_efficient_unet("tiny", image_size=32, in_channels=6,
                                  dtype="bfloat16")
@@ -212,6 +214,7 @@ def test_fold_gn_matches_two_pass():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("remat_kw", [
     {},                                            # classic: full, all
     {"remat_policy": "conv"},                      # save conv outputs
