@@ -253,12 +253,27 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
         t, prev_t, noise = xs
         t_vec = jnp.full((batch,), t, dtype=jnp.int32)
         noise_pred = model.apply(variables, latents, low, t_vec, train=False)
+        # Scheduler arithmetic in f32 regardless of the UNet compute dtype:
+        # x̂₀ = (x_t − √(1−ᾱ_t)·ε̂)/√ᾱ_t amplifies rounding by 1/√ᾱ_t —
+        # ~7× at t=739 — so bf16 here costs real quality on high-t grids
+        # (see BENCHMARKS.md round 4 for the measured delta on the 1-step
+        # [739] student) while the cast is free: these are elementwise VPU
+        # ops XLA fuses; all MXU work stays bf16. The torch reference's
+        # scheduler is f32 throughout (``lcm_scheduler.py``), so this also
+        # tightens cross-framework parity.
         if deterministic:
-            prev_sample, _ = sched.ddim_step(schedule, noise_pred, t, prev_t,
-                                             latents)
+            prev_sample, _ = sched.ddim_step(
+                schedule, noise_pred.astype(jnp.float32), t, prev_t,
+                latents.astype(jnp.float32))
         else:
-            prev_sample, _ = sched.step(schedule, noise_pred, t, prev_t,
-                                        latents, noise=noise)
+            prev_sample, _ = sched.step(
+                schedule, noise_pred.astype(jnp.float32), t, prev_t,
+                latents.astype(jnp.float32),
+                noise=noise.astype(jnp.float32))
+        # carry returns to the UNet dtype (it is the next step's input);
+        # the final bf16 cast costs ~2^-8 quantization (≈60 dB floor),
+        # negligible next to the in-step amplification fixed above
+        prev_sample = prev_sample.astype(dtype)
         return prev_sample, prev_sample if return_intermediate else None
 
     latents, intermediates = jax.lax.scan(

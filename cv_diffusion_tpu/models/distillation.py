@@ -30,7 +30,8 @@ import optax
 from flax import struct
 
 from ..models.diffusion import LowLightDiffusion, enhance
-from ..models.scheduler import LCMSchedule, add_noise
+from ..models.scheduler import (LCMSchedule, add_noise,
+                                pred_original_sample, step as sampler_step)
 from ..training.ema import update_ema
 
 
@@ -215,7 +216,8 @@ def sampler_regression_loss(
         teacher_steps: int = 4,
         student_timesteps: Sequence[int] = (739,),
         deterministic_teacher: bool = False,
-        gt_weight: float = 0.0) -> jnp.ndarray:
+        gt_weight: float = 0.0,
+        full_grad: bool = False) -> jnp.ndarray:
     """Sampler-to-sampler regression distillation.
 
     The consistency objective transfers quality between ADJACENT grid
@@ -250,10 +252,44 @@ def sampler_regression_loss(
                           deterministic=deterministic_teacher)
     teacher_out = jax.lax.stop_gradient(teacher_out.astype(jnp.float32))
 
-    student_out = enhance(model, schedule, {"params": student_params},
-                          s_rng, low_light,
-                          timesteps=tuple(student_timesteps)
-                          ).astype(jnp.float32)
+    grid = [int(t) for t in student_timesteps]
+    if len(grid) == 1 or full_grad:
+        student_out = enhance(model, schedule, {"params": student_params},
+                              s_rng, low_light,
+                              timesteps=tuple(student_timesteps)
+                              ).astype(jnp.float32)
+    else:
+        # Memory-bounded multi-step student (default for m > 1): run the
+        # first m−1 sampler steps under stop_gradient and backprop only
+        # through the final step.  XLA saves every step's activations when
+        # differentiating through the full scan — measured 42.4 GiB at
+        # b16 / 27.7 GiB even at b4 for a 2-step small@256 student vs the
+        # 15.75 GiB chip; the prefix states are still exactly the student's
+        # own deployment distribution, so the truncated gradient trains the
+        # final-step map on-policy (the shared weights see gradients from
+        # the step that produces the output).  ``full_grad=True`` restores
+        # end-to-end backprop for backends with the memory to hold it.
+        dtype = jnp.dtype(model.config.unet.dtype)
+        b, h, w = low_light.shape[:3]
+        low = low_light.astype(dtype)
+        s_init, s_steps = jax.random.split(s_rng)
+        x = jax.random.normal(s_init, (b, h, w, 3)).astype(dtype)
+        keys = jax.random.split(s_steps, len(grid) - 1)
+        for i, t in enumerate(grid[:-1]):
+            t_vec = jnp.full((b,), t, jnp.int32)
+            eps = model.apply({"params": student_params}, x, low, t_vec,
+                              train=False)
+            x, _ = sampler_step(schedule, eps, jnp.asarray(t, jnp.int32),
+                                jnp.asarray(grid[i + 1], jnp.int32), x,
+                                rng=keys[i])
+            x = jax.lax.stop_gradient(x)
+        t_vec = jnp.full((b,), grid[-1], jnp.int32)
+        eps = model.apply({"params": student_params}, x, low, t_vec,
+                          train=False)
+        x0 = pred_original_sample(schedule, eps,
+                                  jnp.asarray(grid[-1], jnp.int32), x)
+        # final-step semantics of the deployed sampler: x̂₀, clipped
+        student_out = jnp.clip(x0, -1.0, 1.0).astype(jnp.float32)
 
     loss = huber_loss(student_out, teacher_out)
     if gt_weight:
@@ -370,14 +406,17 @@ def make_regression_distillation_step(
         student_timesteps: Sequence[int] = (739,),
         deterministic_teacher: bool = False,
         gt_weight: float = 0.0,
+        full_grad: bool = False,
         mesh=None, donate: bool = True) -> Callable:
     """Jitted sampler-regression distillation step
     (:func:`sampler_regression_loss`) — the 1-step-student training mode.
 
-    The student differentiates through its OWN full m-step sampler (m =
-    ``len(student_timesteps)``, typically 1), so the backward cost scales
-    with m; the teacher's k-step sampler runs forward-only under
-    ``stop_gradient``.
+    For m = ``len(student_timesteps)`` = 1 the student differentiates
+    through its full sampler; for m > 1 the default backpropagates only
+    through the FINAL step (stop-grad prefix — see
+    :func:`sampler_regression_loss` for the measured HBM numbers that force
+    this) unless ``full_grad=True``.  The teacher's k-step sampler always
+    runs forward-only under ``stop_gradient``.
     """
     grid = tuple(int(t) for t in student_timesteps)
 
@@ -388,7 +427,7 @@ def make_regression_distillation_step(
                 step_rng, batch["low_light"], batch["normal_light"],
                 teacher_steps=teacher_steps, student_timesteps=grid,
                 deterministic_teacher=deterministic_teacher,
-                gt_weight=gt_weight)
+                gt_weight=gt_weight, full_grad=full_grad)
         return loss_fn
 
     return _jit_distillation_step(build_loss_fn, ema_decay, mesh, donate)

@@ -364,7 +364,8 @@ class DistillationTrainer:
                  student_timesteps=None,
                  teacher_steps: Optional[int] = None,
                  deterministic_teacher: bool = False,
-                 gt_weight: float = 0.0):
+                 gt_weight: float = 0.0,
+                 full_grad: bool = False):
         from ..models.distillation import (create_distillation_state,
                                            make_distillation_step,
                                            make_regression_distillation_step)
@@ -406,7 +407,7 @@ class DistillationTrainer:
                                or self.config.num_inference_steps),
                 student_timesteps=self.student_timesteps or (739,),
                 deterministic_teacher=deterministic_teacher,
-                gt_weight=gt_weight, mesh=self.mesh)
+                gt_weight=gt_weight, full_grad=full_grad, mesh=self.mesh)
             if self.student_timesteps is None:
                 self.student_timesteps = (739,)
         else:

@@ -71,6 +71,12 @@ def main():
     p.add_argument("--deterministic_teacher", action="store_true",
                    help="Use the renoise-free DDIM-style teacher sampler as "
                         "the regression target")
+    p.add_argument("--regression_full_grad", action="store_true",
+                   help="With --regression and a multi-step grid: backprop "
+                        "through ALL student steps instead of the default "
+                        "final-step-only (stop-grad prefix). Needs ~m x the "
+                        "HBM: a 2-step small@256 full-grad backward is "
+                        "42 GiB at b16 / 28 GiB at b4 vs the 15.75 GiB chip")
     p.add_argument("--gt_weight", type=float, default=0.0,
                    help="Mix a ground-truth huber anchor into the "
                         "regression loss: (1-w)*teacher + w*gt")
@@ -152,7 +158,7 @@ def main():
         regression=args.regression, student_timesteps=student_ts,
         teacher_steps=args.teacher_steps,
         deterministic_teacher=args.deterministic_teacher,
-        gt_weight=args.gt_weight)
+        gt_weight=args.gt_weight, full_grad=args.regression_full_grad)
     trainer.train()
 
 

@@ -65,26 +65,48 @@ def main():
     from cv_diffusion_tpu.training import checkpoint as ckpt
     from cv_diffusion_tpu.training.metrics import psnr, ssim, mae
 
-    # v-prediction checkpoints silently produce garbage when sampled as
-    # epsilon — auto-detect the trained prediction target from the artifact
-    pred_type = ckpt.load_prediction_type(args.model) or "epsilon"
-    if pred_type != "epsilon":
-        print(f"Prediction type: {pred_type} (auto-detected)")
-    model_cfg = diffusion_config(args.variant, image_size=args.image_size,
-                                 num_inference_steps=args.num_steps,
-                                 dtype=args.dtype,
-                                 prediction_type=pred_type,
-                                 use_pallas=not args.no_pallas)
-    model, schedule = create_model(model_cfg)
-    like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
-    like = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), like)["params"]
-    params = ckpt.load_inference_params(args.model, like,
-                                        use_ema=args.use_ema)
+    import os
+    pkg_cfg_path = os.path.join(args.model, "model_config.json")
+    is_package = False
+    if os.path.exists(pkg_cfg_path):
+        import json as _json
+        with open(pkg_cfg_path) as f:
+            is_package = _json.load(f).get("framework") == "cv_diffusion_tpu"
+
+    if is_package:
+        # Serving package: rebuild the model the package describes (incl.
+        # act_quant for int8_act packages — evaluating those through a
+        # plain model would silently skip the int8 compute path) and its
+        # variables (params [+ act_scales]).
+        from cv_diffusion_tpu.export.serving import load_serving_package
+        model, schedule, variables, _pkg = load_serving_package(
+            args.model, use_pallas=not args.no_pallas)
+        print(f"Package: quantization={_pkg.get('quantization')}")
+        if not (isinstance(variables, dict) and "params" in variables):
+            variables = {"params": variables}
+    else:
+        # v-prediction checkpoints silently produce garbage when sampled as
+        # epsilon — auto-detect the trained target from the artifact
+        pred_type = ckpt.load_prediction_type(args.model) or "epsilon"
+        if pred_type != "epsilon":
+            print(f"Prediction type: {pred_type} (auto-detected)")
+        model_cfg = diffusion_config(args.variant,
+                                     image_size=args.image_size,
+                                     num_inference_steps=args.num_steps,
+                                     dtype=args.dtype,
+                                     prediction_type=pred_type,
+                                     use_pallas=not args.no_pallas)
+        model, schedule = create_model(model_cfg)
+        like = jax.eval_shape(lambda k: init_model(model, k),
+                              jax.random.key(0))
+        like = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), like)["params"]
+        variables = {"params": ckpt.load_inference_params(
+            args.model, like, use_ema=args.use_ema)}
 
     # commit weights to device once — host-numpy params would re-transfer
     # the whole tree every batch (see ServingPipeline.__init__)
-    params = jax.device_put(params)
+    variables = jax.device_put(variables)
 
     ds = LowLightDataset(args.data_dir, image_size=args.image_size,
                          augment_data=False)
@@ -97,8 +119,7 @@ def main():
         print(f"Timestep grid: {list(timesteps)}")
 
     from cv_diffusion_tpu.utils.compile_opts import tpu_compiler_options
-    enh = jax.jit(lambda v, k, x: enhance(model, schedule, {"params": v}, k,
-                                          x,
+    enh = jax.jit(lambda v, k, x: enhance(model, schedule, v, k, x,
                                           num_inference_steps=args.num_steps,
                                           deterministic=args.deterministic,
                                           timesteps=timesteps),
@@ -147,7 +168,7 @@ def main():
                     low_np.dtype)
                 low_np = np.concatenate([low_np, pad])
                 tgt_np = np.concatenate([tgt_np, pad.astype(tgt_np.dtype)])
-            out = enh(params, k, jnp.asarray(low_np))
+            out = enh(variables, k, jnp.asarray(low_np))
             (m_psnr, m_ssim, m_mae), pred_u8 = metrics_fn(
                 out, jnp.asarray(tgt_np))
             m_psnr, m_ssim, m_mae = (np.asarray(m_psnr)[:n_valid],

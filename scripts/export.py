@@ -27,7 +27,13 @@ def main():
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--num_steps", type=int, default=4)
     p.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "bf16", "int8"])
+                   choices=["none", "bf16", "int8", "int8_act"])
+    p.add_argument("--calib_dir", type=str, default=None,
+                   help="With --quantize int8_act: paired dataset dir "
+                        "(root/{low,high}/) for PTQ activation calibration")
+    p.add_argument("--calib_batches", type=int, default=4,
+                   help="Calibration batches (batch 8) drawn from "
+                        "--calib_dir")
     p.add_argument("--graph", action="store_true",
                    help="Also serialize the full sampler as StableHLO")
     p.add_argument("--batch_size", type=int, default=1)
@@ -74,10 +80,33 @@ def main():
     from inference import parse_timesteps
     timesteps = parse_timesteps(args.checkpoint, args.timesteps)
 
+    act_scales = None
+    if args.quantize == "int8_act":
+        # PTQ activation calibration on real paired data, then package the
+        # int8-compute path (reference analogue: static quantization,
+        # ``src/export/quantization.py:172-214``, never calibrated there).
+        if not args.calib_dir:
+            p.error("--quantize int8_act requires --calib_dir")
+        from cv_diffusion_tpu.data import LowLightDataset, DataLoader
+        from cv_diffusion_tpu.export.quantization import (act_quant_model,
+                                                          calibrate_act_scales)
+        ds = LowLightDataset(args.calib_dir, image_size=args.image_size,
+                             augment_data=False)
+        loader = DataLoader(ds, 8)
+        batches = []
+        for i, b in enumerate(loader):
+            if i >= args.calib_batches:
+                break
+            batches.append(b)
+        qmodel, _ = act_quant_model(model.config)
+        act_scales = calibrate_act_scales(qmodel, schedule, params, batches)
+        print(f"Calibrated act_scales on {len(batches)} batches")
+
     files = create_serving_package(
         args.output, model, schedule, params,
         num_inference_steps=args.num_steps, quantize=args.quantize,
         include_graph=args.graph, batch_size=args.batch_size,
+        act_scales=act_scales,
         dynamic_batch=args.dynamic_batch, deterministic=args.deterministic,
         timesteps=timesteps)
     print("Exported package:")
