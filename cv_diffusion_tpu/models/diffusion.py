@@ -253,14 +253,16 @@ def enhance(model: LowLightDiffusion, schedule: LCMSchedule, variables,
         t, prev_t, noise = xs
         t_vec = jnp.full((batch,), t, dtype=jnp.int32)
         noise_pred = model.apply(variables, latents, low, t_vec, train=False)
-        # Scheduler arithmetic in f32 regardless of the UNet compute dtype:
-        # x̂₀ = (x_t − √(1−ᾱ_t)·ε̂)/√ᾱ_t amplifies rounding by 1/√ᾱ_t —
-        # ~7× at t=739 — so bf16 here costs real quality on high-t grids
-        # (see BENCHMARKS.md round 4 for the measured delta on the 1-step
-        # [739] student) while the cast is free: these are elementwise VPU
-        # ops XLA fuses; all MXU work stays bf16. The torch reference's
-        # scheduler is f32 throughout (``lcm_scheduler.py``), so this also
-        # tightens cross-framework parity.
+        # Scheduler arithmetic in f32 regardless of the UNet compute dtype.
+        # x̂₀ = (x_t − √(1−ᾱ_t)·ε̂)/√ᾱ_t amplifies ε̂ error by 1/√ᾱ_t (~7×
+        # at t=739); running the reconstruction itself in f32 removes the
+        # scheduler's own rounding from that path for free (elementwise VPU
+        # ops XLA fuses; all MXU work stays bf16) and matches the torch
+        # reference's f32 scheduler (``lcm_scheduler.py``). Measured effect
+        # is small (teacher 22.41→22.40 dB, SSIM +0.0005 — within noise):
+        # the dominant bf16 cost on high-t 1-step grids is the UNet's OWN
+        # bf16 compute noise × 7, which no scheduler precision can remove
+        # (BENCHMARKS.md round 4, "the bf16 1-step gap").
         if deterministic:
             prev_sample, _ = sched.ddim_step(
                 schedule, noise_pred.astype(jnp.float32), t, prev_t,
