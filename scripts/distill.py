@@ -121,9 +121,16 @@ def main():
     from cv_diffusion_tpu.training import DistillationTrainer
     from cv_diffusion_tpu.training import checkpoint as ckpt
 
+    # a v-prediction teacher distilled under an epsilon schedule silently
+    # produces garbage — detect the teacher's trained target (the student
+    # inherits it; its saved model_config.json propagates it downstream)
+    pred_type = ckpt.load_prediction_type(args.teacher) or "epsilon"
+    if pred_type != "epsilon":
+        print(f"Prediction type: {pred_type} (auto-detected from teacher)")
     model_cfg = diffusion_config(args.variant, image_size=args.image_size,
                                  num_inference_steps=args.num_steps,
                                  dtype=args.dtype,
+                                 prediction_type=pred_type,
                                  use_pallas=args.use_pallas,
                                  remat=args.remat)
     model, schedule = create_model(model_cfg)
