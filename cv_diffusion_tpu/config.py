@@ -259,6 +259,11 @@ class TrainConfig:
     save_interval: int = 5
     sample_interval: int = 1
     num_samples: int = 4
+    # Overlap checkpoint saves with training (checkpoint.AsyncCheckpointSaver:
+    # on-device snapshot, then fetch+write on a worker thread). On the axon
+    # tunnel a synchronous full-state save stalls the loop ~20-30 s.
+    # Single-process only; multi-host saves stay collective on-thread.
+    async_checkpoints: bool = True
 
     output_dir: str = "outputs"
     checkpoint_dir: str = "checkpoints"

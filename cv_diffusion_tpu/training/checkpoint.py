@@ -14,6 +14,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -28,10 +29,7 @@ def _numpy_restore_args(tree):
 META_FILE = "trainer_meta.json"
 
 
-def save_checkpoint(path: str, state, *, epoch: int,
-                    best_val_loss: float, config_json: str) -> None:
-    """Save train state + host metadata to ``path`` (a directory)."""
-    path = os.path.abspath(path)
+def _build_save_item(state) -> Dict[str, Any]:
     item = {
         "step": state.step,
         "params": state.params,
@@ -41,17 +39,97 @@ def save_checkpoint(path: str, state, *, epoch: int,
         item["ema_params"] = state.ema_params
     # PRNG keys serialize as raw key data.
     item["rng"] = jax.random.key_data(state.rng)
+    return item
 
+
+def _write_checkpoint(path: str, item, *, epoch: int,
+                      best_val_loss: float, config_json: str) -> None:
     ckpt = ocp.PyTreeCheckpointer()
     ckpt.save(path, item, force=True)
     meta = {
         "epoch": epoch,
-        "global_step": int(state.step),
+        "global_step": int(item["step"]),
         "best_val_loss": float(best_val_loss),
         "config": json.loads(config_json),
     }
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(meta, f, indent=2)
+
+
+def save_checkpoint(path: str, state, *, epoch: int,
+                    best_val_loss: float, config_json: str) -> None:
+    """Save train state + host metadata to ``path`` (a directory)."""
+    _write_checkpoint(os.path.abspath(path), _build_save_item(state),
+                      epoch=epoch, best_val_loss=best_val_loss,
+                      config_json=config_json)
+
+
+# Jitted no-donation deep copy: outputs get fresh buffers (no input/output
+# aliasing is declared), so the snapshot survives the train step's buffer
+# donation of the original state.  On-chip HBM->HBM copy is ~ms; the slow
+# device->host fetch then runs on the saver thread, off the training path.
+@jax.jit
+def _device_copy(tree):
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+class AsyncCheckpointSaver:
+    """Overlap checkpoint saves with training.
+
+    The reference saves synchronously with ``torch.save``
+    (``src/training/trainer.py:415-435``), stalling its train loop for the
+    full serialize+write.  Here the cost is worse — on the axon
+    remote-compile backend the device->host fetch of a full train state
+    (~288 MB for small@256: params + EMA + Adam moments) runs at ~13 MB/s
+    through the tunnel, so every best-model save stalled the loop ~20-30 s
+    (measured round 5; with val improving every early epoch this dominated
+    wall clock).  This saver (1) deep-copies the state ON DEVICE into
+    non-donated buffers (~ms), then (2) fetches + orbax-writes on a single
+    worker thread while the main thread keeps dispatching train steps.
+
+    Ordering is preserved (one worker, FIFO), repeated saves to the same
+    path (best_model) serialize safely, and at most ``max_pending``
+    snapshots are held in HBM (backpressure blocks the submitter).
+    Gate to single-process runs: multi-host orbax saves are collective and
+    are kept on the main thread (``Trainer.save_checkpoint``).
+    """
+
+    def __init__(self, max_pending: int = 2):
+        import concurrent.futures as _cf
+        self._pool = _cf.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-saver")
+        self._pending: list = []
+        self._max_pending = max_pending
+
+    def save(self, path: str, state, *, epoch: int, best_val_loss: float,
+             config_json: str) -> None:
+        self._reap(block_to=self._max_pending - 1)
+        snap = _device_copy(_build_save_item(state))
+
+        def _job():
+            host = jax.tree_util.tree_map(np.asarray, snap)
+            _write_checkpoint(os.path.abspath(path), host, epoch=epoch,
+                              best_val_loss=best_val_loss,
+                              config_json=config_json)
+
+        self._pending.append(self._pool.submit(_job))
+
+    def _reap(self, block_to: int) -> None:
+        """Propagate errors from finished jobs; block until at most
+        ``block_to`` remain in flight."""
+        while self._pending:
+            fut = self._pending[0]
+            if len(self._pending) > block_to:
+                fut.result()  # blocks; re-raises job errors
+            elif not fut.done():
+                break
+            elif fut.exception() is not None:
+                raise fut.exception()
+            self._pending.pop(0)
+
+    def wait(self) -> None:
+        """Drain all in-flight saves (call before exit/eval-of-artifacts)."""
+        self._reap(block_to=0)
 
 
 def restore_checkpoint(path: str, state) -> Dict[str, Any]:

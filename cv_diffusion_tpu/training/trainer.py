@@ -140,6 +140,12 @@ class Trainer:
         # runs: process_index() == 0 always.
         self.is_main_process = jax.process_index() == 0
 
+        # Async checkpoint saves (single-process only: multi-host orbax
+        # saves are collective and stay on the main thread).
+        self._saver = (ckpt.AsyncCheckpointSaver()
+                       if (self.config.async_checkpoints
+                           and jax.process_count() == 1) else None)
+
         self.output_dir = Path(self.config.output_dir)
         self.checkpoint_dir = Path(self.config.checkpoint_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -196,6 +202,7 @@ class Trainer:
                     self.generate_samples(epoch)
 
         self.save_checkpoint("final_model")
+        self.wait_for_checkpoints()
         if self.use_wandb:
             wandb.finish()
 
@@ -304,12 +311,24 @@ class Trainer:
     # ------------------------------------------------------------------
     def save_checkpoint(self, name: str):
         path = str(self.checkpoint_dir / name)
-        ckpt.save_checkpoint(path, self.state, epoch=self.epoch,
+        if self._saver is not None:
+            self._saver.save(path, self.state, epoch=self.epoch,
                              best_val_loss=self.best_val_loss,
                              config_json=to_json(self.config))
-        print(f"Saved checkpoint: {name}")
+            print(f"Saving checkpoint (async): {name}")
+        else:
+            ckpt.save_checkpoint(path, self.state, epoch=self.epoch,
+                                 best_val_loss=self.best_val_loss,
+                                 config_json=to_json(self.config))
+            print(f"Saved checkpoint: {name}")
+
+    def wait_for_checkpoints(self):
+        """Drain in-flight async saves (no-op for sync mode)."""
+        if self._saver is not None:
+            self._saver.wait()
 
     def load_checkpoint(self, path: str):
+        self.wait_for_checkpoints()
         restored = ckpt.restore_checkpoint(path, self.state)
         self.state = restored["state"]
         self.epoch = restored["epoch"] + 1

@@ -46,6 +46,7 @@ _FLAG_TO_FIELD = {
     "prediction": "prediction_type",
     "init_params": "init_params_from",
     "init_ema": "init_params_ema",
+    "sync_checkpoints": "async_checkpoints",
 }
 
 
@@ -66,6 +67,8 @@ def resolve_config(args, argv):
             return not args.no_amp
         if flag == "no_ema":
             return not args.no_ema
+        if flag == "sync_checkpoints":
+            return not args.sync_checkpoints
         return getattr(args, flag)
 
     if args.config:
@@ -152,6 +155,10 @@ def build_parser():
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--save_interval", type=int, default=5)
+    p.add_argument("--sync_checkpoints", action="store_true",
+                   help="Save checkpoints synchronously on the main thread "
+                        "(default: async — on-device snapshot, then "
+                        "fetch+write on a worker thread)")
     p.add_argument("--sample_interval", type=int, default=1)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--wandb_project", type=str,

@@ -191,6 +191,76 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpoint_roundtrip_survives_donation(tiny_setup, tmp_path):
+    """AsyncCheckpointSaver must snapshot into non-donated buffers: a train
+    step donating the old state AFTER save() is submitted must not corrupt
+    the written checkpoint."""
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_train_step(model, schedule, cfg, donate=False)
+    state, _ = step(state, _batch(jax.random.key(1)))
+    expect = jax.tree_util.tree_map(np.asarray, state.params)
+
+    saver = checkpoint.AsyncCheckpointSaver()
+    path = str(tmp_path / "ckpt_async")
+    saver.save(path, state, epoch=7, best_val_loss=0.25,
+               config_json=to_json(cfg))
+    # donate the saved state's buffers while the save is in flight
+    donating = make_train_step(model, schedule, cfg, donate=True)
+    state2, _ = donating(state, _batch(jax.random.key(2)))
+    saver.wait()
+
+    fresh = create_train_state(model, cfg, jax.random.key(99),
+                               steps_per_epoch=10, variables=variables)
+    restored = checkpoint.restore_checkpoint(path, fresh)
+    assert restored["epoch"] == 7
+    assert int(restored["state"].step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(restored["state"].params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_async_checkpoint_same_path_last_wins(tiny_setup, tmp_path):
+    """Repeated saves to one path (best_model cadence) serialize FIFO."""
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    step = make_train_step(model, schedule, cfg, donate=False)
+
+    saver = checkpoint.AsyncCheckpointSaver()
+    path = str(tmp_path / "best_model")
+    saver.save(path, state, epoch=0, best_val_loss=1.0,
+               config_json=to_json(cfg))
+    state, _ = step(state, _batch(jax.random.key(1)))
+    state, _ = step(state, _batch(jax.random.key(2)))
+    saver.save(path, state, epoch=1, best_val_loss=0.5,
+               config_json=to_json(cfg))
+    saver.wait()
+
+    fresh = create_train_state(model, cfg, jax.random.key(99),
+                               steps_per_epoch=10, variables=variables)
+    restored = checkpoint.restore_checkpoint(path, fresh)
+    assert restored["epoch"] == 1
+    assert int(restored["state"].step) == 2
+
+
+def test_async_saver_error_propagates(tiny_setup, tmp_path):
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file, not dir")
+    saver = checkpoint.AsyncCheckpointSaver()
+    saver.save(str(blocker / "ckpt"), state, epoch=0, best_val_loss=1.0,
+               config_json=to_json(cfg))
+    with pytest.raises(Exception):
+        saver.wait()
+
+
 def test_save_load_params_only(tiny_setup, tmp_path):
     model, schedule, variables = tiny_setup
     path = str(tmp_path / "params")
