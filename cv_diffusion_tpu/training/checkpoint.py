@@ -127,6 +127,26 @@ class AsyncCheckpointSaver:
                 raise fut.exception()
             self._pending.pop(0)
 
+    def save_params(self, path: str, params,
+                    config_json: Optional[str] = None,
+                    sidecar: Optional[Dict[str, str]] = None) -> None:
+        """Async params-only save (``save_params`` layout); ``sidecar``
+        maps extra filenames to text contents written next to the params
+        (e.g. a student's deployment timestep grid)."""
+        self._reap(block_to=self._max_pending - 1)
+        snap = _device_copy(params)
+        mod_save = globals()["save_params"]
+
+        def _job():
+            host = jax.tree_util.tree_map(np.asarray, snap)
+            mod_save(os.path.abspath(path), host, config_json)
+            for fname, text in (sidecar or {}).items():
+                with open(os.path.join(os.path.abspath(path), fname),
+                          "w") as f:
+                    f.write(text)
+
+        self._pending.append(self._pool.submit(_job))
+
     def wait(self) -> None:
         """Drain all in-flight saves (call before exit/eval-of-artifacts)."""
         self._reap(block_to=0)

@@ -455,6 +455,9 @@ class DistillationTrainer:
         self.best_val_psnr = float("-inf")
 
         self.epoch = 0
+        self._saver = (ckpt.AsyncCheckpointSaver()
+                       if (self.config.async_checkpoints
+                           and jax.process_count() == 1) else None)
         self.output_dir = Path(self.config.output_dir)
         self.checkpoint_dir = Path(self.config.checkpoint_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -546,13 +549,24 @@ class DistillationTrainer:
 
     def save_student(self, name: str):
         path = self.checkpoint_dir / name
-        ckpt.save_params(str(path), self.state.ema_student_params,
-                         config_json=to_json(self.model.config))
+        sidecar = None
         if self.student_timesteps is not None:
             # Regression students are grid-bound: record the deployment
             # timestep grid next to the params so inference/serving can pick
             # it up (the stock lcm_timesteps grid would be wrong for them).
             import json as _json
-            with open(path / "student_timesteps.json", "w") as f:
-                _json.dump({"timesteps": list(self.student_timesteps)}, f)
+            sidecar = {"student_timesteps.json": _json.dumps(
+                {"timesteps": list(self.student_timesteps)})}
+        if self._saver is not None:
+            self._saver.save_params(str(path), self.state.ema_student_params,
+                                    config_json=to_json(self.model.config),
+                                    sidecar=sidecar)
+            print(f"Saving distilled student (async): {name}")
+            return
+        ckpt.save_params(str(path), self.state.ema_student_params,
+                         config_json=to_json(self.model.config))
+        if sidecar:
+            for fname, text in sidecar.items():
+                with open(path / fname, "w") as f:
+                    f.write(text)
         print(f"Saved distilled student: {name}")
