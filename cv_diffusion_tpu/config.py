@@ -74,7 +74,10 @@ class UNetConfig:
     #     combine from per-part partial sums). Pure rewrite: identical
     #     params, init always concatenates. See BENCHMARKS.md §concat-split.
     split_skip: bool = False
-    act_quant: bool = False
+    #   act_quant: False = float; True = int8 serving compute; "fake" =
+    #     activation-aware QAT (STE quantize→dequantize of activations in
+    #     the forward — ops/qconv.QConv._fake_quant_conv).
+    act_quant: Any = False
     #   remat: rematerialize every IRB / attention block under autodiff
     #     (jax.checkpoint via nn.remat) — trades recompute FLOPs for
     #     activation HBM so bigger train batches fit (SURVEY §7 "remat to
@@ -128,6 +131,20 @@ UNET_VARIANTS: Dict[str, Dict[str, Any]] = {
                   num_res_blocks=3, expansion_ratio=4, time_embed_dim=256,
                   num_attention_heads=8),
 }
+
+
+def variant_of(unet_cfg: Dict[str, Any]) -> Optional[str]:
+    """Reverse lookup: name of the variant preset matching a (possibly
+    partial) UNet-config dict, or None.  Lets CLIs auto-detect the
+    architecture from an artifact's recorded ``model_config.json`` instead
+    of requiring a matching ``--variant`` by hand."""
+    def _norm(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    for name, kwargs in UNET_VARIANTS.items():
+        if all(_norm(unet_cfg.get(k)) == _norm(v) for k, v in kwargs.items()):
+            return name
+    return None
 
 
 def unet_config(variant: str = "small", image_size: int = 256, **overrides) -> UNetConfig:
@@ -327,6 +344,12 @@ class TrainConfig:
     # weights land on representable grid points. The reference declares QAT
     # but never invokes it (``src/export/quantization.py:274-311``).
     qat: bool = False
+    # Activation-aware QAT: additionally fake-quantize ACTIVATIONS at every
+    # QConv (STE, int8-path scale rules — ``ops/qconv.py``).  Weight-only
+    # QAT measured as a wash on int8_act's SSIM cliff (BENCHMARKS §QAT:
+    # the −0.18 SSIM vs bf16 is activation noise); this is the named fix.
+    # Implies ``qat`` (weights still fake-quantize via params_transform).
+    qat_act: bool = False
     # Warm-start params (and EMA) from an existing checkpoint WITHOUT
     # restoring optimizer state or epoch — the fine-tuning entry (QAT
     # fine-tune of a trained model, staged training). Unlike resume_from,

@@ -217,7 +217,8 @@ def sampler_regression_loss(
         student_timesteps: Sequence[int] = (739,),
         deterministic_teacher: bool = False,
         gt_weight: float = 0.0,
-        full_grad: bool = False) -> jnp.ndarray:
+        full_grad: bool = False,
+        teacher_model: Optional[LowLightDiffusion] = None) -> jnp.ndarray:
     """Sampler-to-sampler regression distillation.
 
     The consistency objective transfers quality between ADJACENT grid
@@ -241,12 +242,19 @@ def sampler_regression_loss(
     ``gt_weight`` mixes in a ground-truth anchor (paired data is available
     in this task): L = (1-w)·L_teacher + w·huber(student, normal_light).
 
+    ``teacher_model``: architecture for the teacher forward when it differs
+    from the student's (capacity-asymmetric distillation, e.g. a base-variant
+    student under a small-variant teacher).  The objective only couples the
+    two through sampler OUTPUTS, so unlike adjacent-pair consistency it
+    places no same-architecture constraint.  Default None = shared model.
+
     No reference analogue: its distillation components
     (``low_light_diffusion.py:284-408``) only implement adjacent-pair
     consistency, and its 1-step sampler is degenerate by construction.
     """
     t_rng, s_rng = jax.random.split(rng)
-    teacher_out = enhance(model, schedule, {"params": teacher_params},
+    teacher_out = enhance(teacher_model or model, schedule,
+                          {"params": teacher_params},
                           t_rng, low_light,
                           num_inference_steps=teacher_steps,
                           deterministic=deterministic_teacher)
@@ -407,6 +415,7 @@ def make_regression_distillation_step(
         deterministic_teacher: bool = False,
         gt_weight: float = 0.0,
         full_grad: bool = False,
+        teacher_model: Optional[LowLightDiffusion] = None,
         mesh=None, donate: bool = True) -> Callable:
     """Jitted sampler-regression distillation step
     (:func:`sampler_regression_loss`) — the 1-step-student training mode.
@@ -427,7 +436,8 @@ def make_regression_distillation_step(
                 step_rng, batch["low_light"], batch["normal_light"],
                 teacher_steps=teacher_steps, student_timesteps=grid,
                 deterministic_teacher=deterministic_teacher,
-                gt_weight=gt_weight, full_grad=full_grad)
+                gt_weight=gt_weight, full_grad=full_grad,
+                teacher_model=teacher_model)
         return loss_fn
 
     return _jit_distillation_step(build_loss_fn, ema_decay, mesh, donate)

@@ -39,6 +39,22 @@ Dtype = Any
 PaddingLike = Union[str, Sequence[Tuple[int, int]]]
 
 
+@jax.custom_vjp
+def _ste_round(x):
+    return jnp.round(x)
+
+
+def _ste_fwd(x):
+    return jnp.round(x), None
+
+
+def _ste_bwd(_, g):
+    return (g,)  # straight-through: d round(x)/dx ≈ 1
+
+
+_ste_round.defvjp(_ste_fwd, _ste_bwd)
+
+
 class QConv(nn.Module):
     """``nn.Conv``-compatible conv with an optional int8 compute path."""
 
@@ -50,7 +66,13 @@ class QConv(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     # int8 path -----------------------------------------------------------
-    act_quant: bool = False
+    # False = float; True = int8 activation×weight serving compute;
+    # "fake" = activation-aware QAT: the forward quantizes→dequantizes the
+    # activations with the SAME scale provenance as the int8 path, but in
+    # float with straight-through gradients, so fine-tuning can adapt the
+    # weights to the activation-quantization noise (the int8 path is not
+    # differentiable: int8 conv + non-STE rounds).
+    act_quant: Any = False
     # Known static input bound (e.g. 6.0 after ReLU6); None = calibrate.
     act_bound: Optional[float] = None
 
@@ -66,6 +88,8 @@ class QConv(nn.Module):
 
         if not self.act_quant:
             y = self._float_conv(x, kernel)
+        elif self.act_quant == "fake":
+            y = self._fake_quant_conv(x, kernel)
         else:
             y = self._int8_conv(x, kernel)
         if bias is not None:
@@ -88,6 +112,35 @@ class QConv(nn.Module):
     def _float_conv(self, x, kernel):
         dtype = jnp.dtype(self.dtype)
         return self._conv(x.astype(dtype), kernel.astype(dtype))
+
+    def _fake_quant_conv(self, x, kernel):
+        """Activation-aware QAT forward: quantize→dequantize the input with
+        the int8 path's exact scale rules (static ReLU6 bound, calibrated
+        amax, or dynamic per-batch fallback), STE gradients, float conv.
+
+        Weight fake-quant is NOT applied here — it stays with
+        ``export.qat.fake_quant_params`` (the train-step ``params_transform``
+        hook), the single weight-quantization simulation shared by weight-only
+        QAT, so the two compose without double-rounding the kernels.
+
+        No ``act_scales`` variable is declared (unlike the int8 path): the
+        train step applies with a params-only variables dict, and a params
+        tree identical to the float model's is what lets QAT checkpoints
+        load straight into float OR int8 serving.  Unbounded modules use a
+        dynamic per-batch scale — the distribution the export's PTQ
+        calibration later captures as a static amax."""
+        xf = x.astype(jnp.float32)
+        if self.act_bound is not None:
+            amax_eff = jnp.asarray(float(self.act_bound), jnp.float32)
+        else:
+            amax_eff = jax.lax.stop_gradient(jnp.max(jnp.abs(xf)))
+        s_x = jnp.maximum(amax_eff, 1e-6) / 127.0
+        xq = jnp.clip(_ste_round(xf / s_x), -127, 127) * s_x
+        # f32 conv: bf16 would re-round the dequantized grid points and the
+        # forward would no longer match the int8 path's values
+        y = self._conv(xq, kernel.astype(jnp.float32),
+                       ptype=jnp.float32)
+        return y.astype(jnp.dtype(self.dtype))
 
     def _int8_conv(self, x, kernel):
         init_amax = float(self.act_bound) if self.act_bound is not None else 0.0

@@ -119,13 +119,12 @@ class AsyncCheckpointSaver:
         ``block_to`` remain in flight."""
         while self._pending:
             fut = self._pending[0]
-            if len(self._pending) > block_to:
-                fut.result()  # blocks; re-raises job errors
-            elif not fut.done():
+            if len(self._pending) <= block_to and not fut.done():
                 break
-            elif fut.exception() is not None:
-                raise fut.exception()
+            # Remove BEFORE surfacing errors: a failed job must not wedge
+            # the queue by re-raising from the head on every later call.
             self._pending.pop(0)
+            fut.result()  # blocks if still running; re-raises job errors
 
     def save_params(self, path: str, params,
                     config_json: Optional[str] = None,
@@ -295,6 +294,29 @@ def load_prediction_type(path: str) -> Optional[str]:
             with open(p) as f:
                 meta = json.load(f)
             return meta.get("config", {}).get("prediction_type")
+    return None
+
+
+def detect_variant(path: str) -> Optional[str]:
+    """Variant name recorded in an artifact's ``model_config.json``
+    (written by ``save_params``/``export_release_weights``) or
+    ``trainer_meta.json``, or None when the artifact predates
+    self-description.  CLIs use this so a committed release artifact
+    doesn't need a hand-matched ``--variant``."""
+    from cv_diffusion_tpu.config import variant_of
+    cfg = load_model_config(path)
+    if cfg:
+        unet = (cfg.get("model") or {}).get("unet") or cfg.get("unet")
+        if unet:
+            v = variant_of(unet)
+            if v:
+                return v
+    for meta_dir in (os.path.abspath(path),
+                     os.path.dirname(os.path.abspath(path))):
+        p = os.path.join(meta_dir, META_FILE)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f).get("config", {}).get("unet_variant")
     return None
 
 

@@ -119,7 +119,7 @@ class Trainer:
             self.state = self.state.replace(params=loaded,
                                             opt_state=opt_state,
                                             ema_params=ema)
-        if self.config.qat:
+        if self.config.qat or self.config.qat_act:
             from ..export.qat import make_qat_train_step
             self.train_step = make_qat_train_step(model, schedule,
                                                   self.config,
@@ -351,11 +351,15 @@ def train_model(train_data_dir: str, val_data_dir: Optional[str] = None,
         device_cache=config.data_on_device)
 
     dtype = "bfloat16" if config.use_amp else "float32"
+    overrides = {}
+    if config.qat_act:
+        # activation-aware QAT: every QConv STE-fake-quantizes its input
+        overrides["act_quant"] = "fake"
     model_cfg = diffusion_config(config.unet_variant, config.image_size,
                                  config.num_inference_steps, dtype=dtype,
                                  prediction_type=config.prediction_type,
                                  use_pallas=config.use_pallas,
-                                 remat=config.remat)
+                                 remat=config.remat, **overrides)
     model, schedule = create_model(model_cfg)
     trainer = Trainer(model, schedule, train_loader, val_loader, config)
     trainer.train()
@@ -384,11 +388,18 @@ class DistillationTrainer:
                  teacher_steps: Optional[int] = None,
                  deterministic_teacher: bool = False,
                  gt_weight: float = 0.0,
-                 full_grad: bool = False):
+                 full_grad: bool = False,
+                 teacher_model=None):
         from ..models.distillation import (create_distillation_state,
                                            make_distillation_step,
                                            make_regression_distillation_step)
         from .train_state import make_optimizer
+
+        if teacher_model is not None and not regression:
+            # adjacent-pair consistency inits/targets the student FROM the
+            # teacher's weights — a different architecture can't do that
+            raise ValueError("teacher_model (capacity-asymmetric "
+                             "distillation) requires regression mode")
 
         self.config = config or TrainConfig()
         self.model = model
@@ -407,8 +418,16 @@ class DistillationTrainer:
         # Student starts as a (jitted, non-aliasing) copy of the teacher, or
         # warm-starts from an existing student (staged distillation: resume a
         # distillation run or distill an already-distilled student further).
-        init_from = (student_params if student_params is not None
-                     else teacher_params)
+        # With a DIFFERENT teacher architecture the copy is impossible —
+        # the student random-inits fresh instead.
+        if student_params is not None:
+            init_from = student_params
+        elif teacher_model is not None:
+            from ..models.diffusion import init_model
+            init_from = jax.jit(lambda k: init_model(model, k))(
+                jax.random.key(self.config.seed))["params"]
+        else:
+            init_from = teacher_params
         student = jax.jit(
             lambda t: jax.tree_util.tree_map(lambda p: p + 0, t))(
             init_from)
@@ -426,7 +445,8 @@ class DistillationTrainer:
                                or self.config.num_inference_steps),
                 student_timesteps=self.student_timesteps or (739,),
                 deterministic_teacher=deterministic_teacher,
-                gt_weight=gt_weight, full_grad=full_grad, mesh=self.mesh)
+                gt_weight=gt_weight, full_grad=full_grad,
+                teacher_model=teacher_model, mesh=self.mesh)
             if self.student_timesteps is None:
                 self.student_timesteps = (739,)
         else:
@@ -506,6 +526,12 @@ class DistillationTrainer:
             if (epoch + 1) % self.config.sample_interval == 0:
                 self.generate_samples(epoch)
         self.save_student("student_final")
+        # Drain async saves before returning: scripts/distill.py exits right
+        # after train(), so without this a failed final best_student/
+        # student_final write would be silently swallowed (exit 0) and an
+        # in-process reader of the just-saved student would race the worker.
+        if self._saver is not None:
+            self._saver.wait()
 
     def validate_psnr(self) -> float:
         """Mean full-sampler PSNR of the EMA student over the val set.

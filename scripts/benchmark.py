@@ -110,6 +110,11 @@ def main():
     p.add_argument("--no_pallas", action="store_true",
                    help="Force the XLA attention path (the Pallas kernel "
                         "is the forward-only default, like bench.py)")
+    p.add_argument("--timesteps", type=str, default=None,
+                   help="Explicit sampler grid (comma-separated); default: "
+                        "the artifact's recorded student/package grid")
+    p.add_argument("--deterministic", action="store_true",
+                   help="Renoise-free ddim_step sampler")
     args = p.parse_args()
     # load_pipeline compatibility (inference.py arg surface)
     args.no_pad = False

@@ -25,7 +25,13 @@ def main():
     p.add_argument("--data_dir", type=str, required=True)
     p.add_argument("--val_dir", type=str, default=None)
     p.add_argument("--use_synthetic", action="store_true")
-    p.add_argument("--variant", type=str, default="small")
+    p.add_argument("--variant", type=str, default="small",
+                   help="STUDENT architecture variant")
+    p.add_argument("--teacher_variant", type=str, default=None,
+                   help="teacher architecture when it differs from the "
+                        "student (regression mode only); default: "
+                        "auto-detect from the teacher artifact, falling "
+                        "back to --variant")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--num_steps", type=int, default=4,
                    help="Target LCM inference steps for the student")
@@ -134,14 +140,38 @@ def main():
                                  use_pallas=args.use_pallas,
                                  remat=args.remat)
     model, schedule = create_model(model_cfg)
-    like = jax.eval_shape(lambda k: init_model(model, k), jax.random.key(0))
+
+    # Capacity-asymmetric distillation: teacher arch may differ from the
+    # student's (regression mode regresses sampler outputs, so nothing ties
+    # the architectures together).  Auto-detect from the teacher artifact.
+    teacher_variant = (args.teacher_variant
+                       or ckpt.detect_variant(args.teacher) or args.variant)
+    teacher_model = None
+    teacher_net = model
+    if teacher_variant != args.variant:
+        print(f"Teacher variant: {teacher_variant} (student: {args.variant})")
+        teacher_cfg = diffusion_config(
+            teacher_variant, image_size=args.image_size,
+            num_inference_steps=args.num_steps, dtype=args.dtype,
+            prediction_type=pred_type, use_pallas=args.use_pallas,
+            remat=args.remat)
+        teacher_model, _ = create_model(teacher_cfg)
+        teacher_net = teacher_model
+    like = jax.eval_shape(lambda k: init_model(teacher_net, k),
+                          jax.random.key(0))
     like = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), like)["params"]
     teacher = ckpt.load_inference_params(args.teacher, like,
                                          use_ema=args.teacher_ema)
     student = None
     if args.init_student is not None:
-        student = ckpt.load_inference_params(args.init_student, like)
+        student_like = like
+        if teacher_model is not None:  # student arch differs from teacher's
+            student_like = jax.eval_shape(lambda k: init_model(model, k),
+                                          jax.random.key(0))
+            student_like = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), student_like)["params"]
+        student = ckpt.load_inference_params(args.init_student, student_like)
 
     train_loader, val_loader = create_dataloaders(
         args.data_dir, args.val_dir, batch_size=args.batch_size,
@@ -165,7 +195,8 @@ def main():
         regression=args.regression, student_timesteps=student_ts,
         teacher_steps=args.teacher_steps,
         deterministic_teacher=args.deterministic_teacher,
-        gt_weight=args.gt_weight, full_grad=args.regression_full_grad)
+        gt_weight=args.gt_weight, full_grad=args.regression_full_grad,
+        teacher_model=teacher_model)
     trainer.train()
 
 

@@ -63,7 +63,8 @@ def main():
     from cv_diffusion_tpu.models import (create_model, init_model, enhance,
                                          denormalize_image)
     from cv_diffusion_tpu.training import checkpoint as ckpt
-    from cv_diffusion_tpu.training.metrics import psnr, ssim, mae
+    from cv_diffusion_tpu.training.metrics import (psnr, ssim, mae,
+                                                   ms_ssim, gmsd)
 
     import os
     pkg_cfg_path = os.path.join(args.model, "model_config.json")
@@ -90,6 +91,10 @@ def main():
         pred_type = ckpt.load_prediction_type(args.model) or "epsilon"
         if pred_type != "epsilon":
             print(f"Prediction type: {pred_type} (auto-detected)")
+        detected = ckpt.detect_variant(args.model)
+        if detected and detected != args.variant:
+            print(f"Variant: {detected} (auto-detected from artifact)")
+            args.variant = detected
         model_cfg = diffusion_config(args.variant,
                                      image_size=args.image_size,
                                      num_inference_steps=args.num_steps,
@@ -125,15 +130,22 @@ def main():
                                           timesteps=timesteps),
                   compiler_options=tpu_compiler_options())
 
+    # MS-SSIM needs H, W ≥ 11·2⁴ = 176 for its 5 dyadic scales
+    with_perceptual = args.image_size >= 176
+
     def per_image_metrics(out, target):
         # clip to the displayable range before metrics (what any consumer
         # of the image sees; sampler output can overshoot [-1, 1])
         pred = jnp.clip(denormalize_image(out.astype(jnp.float32)), 0.0, 1.0)
         tgt = denormalize_image(target.astype(jnp.float32))
-        one = jax.vmap(lambda p, t: (psnr(p[None], t[None]),
-                                     ssim(p[None], t[None]),
-                                     mae(p[None], t[None])))
-        m = one(pred, tgt)
+
+        def one_img(p, t):
+            ms = (ms_ssim(p[None], t[None]) if with_perceptual
+                  else jnp.zeros(()))
+            return (psnr(p[None], t[None]), ssim(p[None], t[None]),
+                    mae(p[None], t[None]), ms, gmsd(p[None], t[None]))
+
+        m = jax.vmap(one_img)(pred, tgt)
         # uint8 fetch: 1 B/px through the tunnel instead of f32's 4
         pred_u8 = jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
         return m, pred_u8
@@ -151,6 +163,7 @@ def main():
     #                         "files": [...]}
     for seed in range(args.seed, args.seed + args.seeds):
         psnrs, ssims, maes, files = [], [], [], []
+        msssims, gmsds = [], []
         rng = jax.random.key(seed)
         idx = 0
         for batch in loader:
@@ -169,11 +182,13 @@ def main():
                 low_np = np.concatenate([low_np, pad])
                 tgt_np = np.concatenate([tgt_np, pad.astype(tgt_np.dtype)])
             out = enh(variables, k, jnp.asarray(low_np))
-            (m_psnr, m_ssim, m_mae), pred_u8 = metrics_fn(
+            (m_psnr, m_ssim, m_mae, m_ms, m_gmsd), pred_u8 = metrics_fn(
                 out, jnp.asarray(tgt_np))
             m_psnr, m_ssim, m_mae = (np.asarray(m_psnr)[:n_valid],
                                      np.asarray(m_ssim)[:n_valid],
                                      np.asarray(m_mae)[:n_valid])
+            m_ms = np.asarray(m_ms)[:n_valid]
+            m_gmsd = np.asarray(m_gmsd)[:n_valid]
             # fetch the full (padded) uint8 batch, slice host-side: a device
             # [:n] slice would be another remote compile per distinct n
             save_now = args.save_outputs and seed == args.seed
@@ -182,6 +197,8 @@ def main():
                 psnrs.append(float(m_psnr[i]))
                 ssims.append(float(m_ssim[i]))
                 maes.append(float(m_mae[i]))
+                msssims.append(float(m_ms[i]))
+                gmsds.append(float(m_gmsd[i]))
                 files.append(batch["filenames"][i])
                 if args.seeds == 1:
                     print(f"{batch['filenames'][i]}: psnr={psnrs[-1]:.2f} dB"
@@ -194,10 +211,13 @@ def main():
                         outdir / batch["filenames"][i])
                 idx += 1
         per_seed[seed] = {"psnr": psnrs, "ssim": ssims, "mae": maes,
-                          "files": files}
+                          "ms_ssim": msssims, "gmsd": gmsds, "files": files}
+        perc = (f" | MS-SSIM {np.mean(msssims):.4f}" if with_perceptual
+                else "")
         print(f"seed {seed}: {idx} images | "
               f"PSNR {np.mean(psnrs):.2f} ± {np.std(psnrs):.2f} dB | "
-              f"SSIM {np.mean(ssims):.4f} | MAE {np.mean(maes):.4f}")
+              f"SSIM {np.mean(ssims):.4f} | MAE {np.mean(maes):.4f}"
+              f"{perc} | GMSD {np.mean(gmsds):.4f} (lower=better)")
 
     seed_means = [np.mean(per_seed[s]["psnr"]) for s in per_seed]
     seed_ssims = [np.mean(per_seed[s]["ssim"]) for s in per_seed]
@@ -223,11 +243,19 @@ def main():
             "timesteps": None if timesteps is None else
             [int(t) for t in timesteps],
             "seeds": {str(s): {k: per_seed[s][k] for k in
-                               ("psnr", "ssim", "mae", "files")}
+                               ("psnr", "ssim", "mae", "ms_ssim", "gmsd",
+                                "files")}
                       for s in per_seed},
             "summary": {"psnr_mean": float(np.mean(seed_means)),
                         "psnr_std_across_seeds": float(np.std(seed_means)),
-                        "ssim_mean": float(np.mean(seed_ssims))},
+                        "ssim_mean": float(np.mean(seed_ssims)),
+                        "ms_ssim_mean": (float(np.mean(
+                            [np.mean(per_seed[s]["ms_ssim"])
+                             for s in per_seed])) if with_perceptual
+                            else None),
+                        "gmsd_mean": float(np.mean(
+                            [np.mean(per_seed[s]["gmsd"])
+                             for s in per_seed]))},
         }
         Path(args.json).parent.mkdir(parents=True, exist_ok=True)
         Path(args.json).write_text(json.dumps(payload, indent=1))

@@ -42,17 +42,45 @@ def main():
 
     params = ckpt.load_inference_params(args.checkpoint,
                                         use_ema=not args.no_ema)
-    out = os.path.abspath(args.out)
-    if os.path.exists(out):
-        shutil.rmtree(out)
-    ckpt.save_params(out, params)
 
-    # carry the trainer metadata (prediction-type auto-detection reads it)
+    # Make the artifact self-describing: record the model architecture as
+    # model_config.json (like serving packages do) so consumers don't have
+    # to pass a matching --variant by hand; derived from the trainer meta.
+    meta = None
     for meta_dir in (args.checkpoint, os.path.dirname(args.checkpoint)):
         src = os.path.join(meta_dir, ckpt.META_FILE)
         if os.path.exists(src):
-            shutil.copy(src, os.path.join(out, ckpt.META_FILE))
+            with open(src) as f:
+                meta = json.load(f)
+            meta_src = src
             break
+    config_json = None
+    src_cfg = os.path.join(args.checkpoint, "model_config.json")
+    if os.path.exists(src_cfg):
+        # student/params-only checkpoints already self-describe — carry it
+        with open(src_cfg) as f:
+            config_json = f.read()
+    elif meta is not None:
+        from cv_diffusion_tpu.config import diffusion_config, to_json
+        tc = meta.get("config", {})
+        config_json = to_json(diffusion_config(
+            tc.get("unet_variant", "small"),
+            image_size=tc.get("image_size", 256),
+            num_inference_steps=tc.get("num_inference_steps", 4),
+            prediction_type=tc.get("prediction_type") or "epsilon"))
+
+    out = os.path.abspath(args.out)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    ckpt.save_params(out, params, config_json)
+
+    # carry the trainer metadata (prediction-type auto-detection reads it)
+    if meta is not None:
+        shutil.copy(meta_src, os.path.join(out, ckpt.META_FILE))
+    # carry a student's deployment timestep grid when present
+    grid = os.path.join(args.checkpoint, "student_timesteps.json")
+    if os.path.exists(grid):
+        shutil.copy(grid, os.path.join(out, "student_timesteps.json"))
 
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     size_mb = sum(f.stat().st_size for f in Path(out).rglob("*")

@@ -73,6 +73,10 @@ def load_pipeline(args):
     from cv_diffusion_tpu.training import checkpoint as ckpt
     from cv_diffusion_tpu.export.serving import ServingPipeline as SP
 
+    detected = ckpt.detect_variant(args.model)
+    if detected and detected != args.variant:
+        print(f"Variant: {detected} (auto-detected from artifact)")
+        args.variant = detected
     model_cfg = diffusion_config(args.variant,
                                  image_size=cfg.image_size,
                                  num_inference_steps=cfg.num_inference_steps,

@@ -85,6 +85,10 @@ def main():
     p.add_argument("--num_steps", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--prediction", type=str, default=None,
+                   choices=["epsilon", "v_prediction"],
+                   help="prediction target; default: auto-detect from the "
+                        "checkpoint (trainer_meta/model_config)")
     args = p.parse_args()
 
     import jax
@@ -103,14 +107,27 @@ def main():
     steps = args.num_steps
     size = args.image_size
 
+    # Auto-detect the trained prediction target — running a v-prediction
+    # checkpoint through the ε path on either side silently produces
+    # garbage, so the gate must configure BOTH frameworks consistently
+    # (the reference scheduler supports both:
+    # ``src/models/lcm_scheduler.py:60,215-222``).
+    pred_type = (args.prediction
+                 or ckpt.load_prediction_type(args.model) or "epsilon")
+    print(f"prediction_type: {pred_type}")
+    detected = ckpt.detect_variant(args.model)
+    if detected and detected != args.variant:
+        print(f"Variant: {detected} (auto-detected from artifact)")
+        args.variant = detected
+
     # ---- our side: trained params, f32 ---------------------------------
     cfg = diffusion_config(args.variant, image_size=size,
-                           num_inference_steps=steps, dtype="float32")
+                           num_inference_steps=steps, dtype="float32",
+                           prediction_type=pred_type)
     model, schedule = create_model(cfg)
-    raw = ckpt.load_raw(args.model)
-    key = "ema_params" if (args.use_ema and "ema_params" in raw) else "params"
+    loaded = ckpt.load_inference_params(args.model, use_ema=args.use_ema)
     params = jax.tree_util.tree_map(
-        lambda a: np.asarray(a, dtype=np.float32), raw[key])
+        lambda a: np.asarray(a, dtype=np.float32), loaded)
     unet_params = params["unet"] if "unet" in params else params
 
     enh = jax.jit(lambda v, x, ini, stp: enhance(
@@ -126,7 +143,8 @@ def main():
     tmodel.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
                            strict=True)
     tmodel.eval()
-    scheduler = ref_lcm.LCMScheduler(rescale_betas_zero_snr=True)
+    scheduler = ref_lcm.LCMScheduler(rescale_betas_zero_snr=True,
+                                     prediction_type=pred_type)
     scheduler.set_timesteps(steps)
     timesteps = scheduler.timesteps.tolist()
 

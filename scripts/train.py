@@ -43,6 +43,7 @@ _FLAG_TO_FIELD = {
     "grad_accum": "grad_accum_steps",
     "data_on_device": "data_on_device",
     "qat": "qat",
+    "qat_act": "qat_act",
     "prediction": "prediction_type",
     "init_params": "init_params_from",
     "init_ema": "init_params_ema",
@@ -174,6 +175,11 @@ def build_parser():
                         "in the forward pass (int8 STE, same scale/skip "
                         "rules as the int8 export) — fine-tune before an "
                         "int8 serving export")
+    p.add_argument("--qat_act", action="store_true",
+                   help="Activation-aware QAT: ALSO fake-quantize QConv "
+                        "inputs (STE, int8-path scale rules) — targets the "
+                        "int8_act SSIM cliff that weight-only QAT cannot "
+                        "touch (BENCHMARKS §QAT); implies --qat")
     p.add_argument("--init_params", type=str, default=None,
                    help="Warm-start params (+EMA) from a checkpoint with a "
                         "FRESH optimizer/epoch (fine-tuning; unlike "

@@ -270,3 +270,45 @@ def test_regression_multistep_stopgrad_prefix(setup):
 
     full = float(loss(student, True))
     assert np.isfinite(full)
+
+
+@pytest.mark.slow
+def test_regression_asymmetric_teacher_model(setup):
+    """Capacity-asymmetric distillation: a SMALL-variant student can train
+    under a TINY-variant teacher — the regression objective couples the two
+    only through sampler outputs, so architectures are independent (this is
+    the 'bigger student' lever for the 1-step serving frontier)."""
+    from cv_diffusion_tpu.models import make_regression_distillation_step
+    teacher_model, schedule, teacher, _ = setup
+    s_cfg = diffusion_config("small", image_size=32)
+    student_model, _ = create_model(s_cfg)
+    student = init_model(student_model, jax.random.key(2))["params"]
+
+    tx = optax.adamw(1e-4)
+    state = create_distillation_state(teacher, student, tx, jax.random.key(0))
+    step = make_regression_distillation_step(
+        student_model, schedule, teacher_steps=2, student_timesteps=(739,),
+        teacher_model=teacher_model, donate=False)
+    s1, m1 = step(state, _batch(jax.random.key(3)))
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["grad_norm"]) > 0
+    # teacher (tiny tree) frozen; student (small tree) moved
+    for a, b in zip(jax.tree_util.tree_leaves(state.teacher_params),
+                    jax.tree_util.tree_leaves(s1.teacher_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(state.student_params),
+                        jax.tree_util.tree_leaves(s1.student_params)))
+    assert moved
+
+
+def test_distillation_trainer_rejects_asymmetric_consistency():
+    """Adjacent-pair consistency requires same-arch teacher/student."""
+    from cv_diffusion_tpu.training import DistillationTrainer
+    cfg = diffusion_config("tiny", image_size=32)
+    model, schedule = create_model(cfg)
+    with pytest.raises(ValueError, match="regression"):
+        DistillationTrainer(model, schedule, teacher_params={},
+                            train_loader=[], regression=False,
+                            teacher_model=object())

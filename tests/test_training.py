@@ -261,6 +261,31 @@ def test_async_saver_error_propagates(tiny_setup, tmp_path):
         saver.wait()
 
 
+def test_async_saver_error_does_not_wedge(tiny_setup, tmp_path):
+    """A failed job must be dropped from the queue when its error is
+    raised — callers that catch and retry must not see the same stale
+    error forever (the queue must drain past it)."""
+    model, schedule, variables = tiny_setup
+    cfg = _train_cfg()
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               steps_per_epoch=10, variables=variables)
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file, not dir")
+    saver = checkpoint.AsyncCheckpointSaver()
+    saver.save(str(blocker / "ckpt"), state, epoch=0, best_val_loss=1.0,
+               config_json=to_json(cfg))
+    with pytest.raises(Exception):
+        saver.wait()
+    # the failed future is gone: a good save now succeeds and drains
+    good = str(tmp_path / "ckpt_good")
+    saver.save(good, state, epoch=1, best_val_loss=0.5,
+               config_json=to_json(cfg))
+    saver.wait()  # must NOT re-raise the stale error
+    fresh = create_train_state(model, cfg, jax.random.key(99),
+                               steps_per_epoch=10, variables=variables)
+    assert checkpoint.restore_checkpoint(good, fresh)["epoch"] == 1
+
+
 def test_save_load_params_only(tiny_setup, tmp_path):
     model, schedule, variables = tiny_setup
     path = str(tmp_path / "params")
@@ -514,3 +539,32 @@ def test_load_prediction_type_roundtrip(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert ckpt.load_prediction_type(str(empty)) is None
+
+
+def test_ms_ssim_properties():
+    from cv_diffusion_tpu.training.metrics import ms_ssim
+    x = jax.random.uniform(jax.random.key(3), (1, 192, 192, 3))
+    assert float(ms_ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
+    noisy = jnp.clip(x + 0.3 * jax.random.normal(jax.random.key(4), x.shape),
+                     0, 1)
+    m = float(ms_ssim(x, noisy))
+    assert 0.0 < m < 0.99
+    # blur hurts MS-SSIM less than equal-MSE noise? just check ordering
+    # against heavier noise: more distortion → lower score
+    noisier = jnp.clip(
+        x + 0.6 * jax.random.normal(jax.random.key(5), x.shape), 0, 1)
+    assert float(ms_ssim(x, noisier)) < m
+
+
+def test_gmsd_properties():
+    from cv_diffusion_tpu.training.metrics import gmsd
+    x = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
+    # identical images → zero deviation (perfect edge agreement)
+    assert float(gmsd(x, x)) == pytest.approx(0.0, abs=1e-5)
+    noisy = jnp.clip(x + 0.2 * jax.random.normal(jax.random.key(7), x.shape),
+                     0, 1)
+    g1 = float(gmsd(x, noisy))
+    assert g1 > 0.0
+    noisier = jnp.clip(
+        x + 0.5 * jax.random.normal(jax.random.key(8), x.shape), 0, 1)
+    assert float(gmsd(x, noisier)) > g1  # lower is better: more noise, higher
