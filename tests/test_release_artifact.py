@@ -43,3 +43,26 @@ def test_artifact_loads_flagship_params():
     assert n == 18_008_035
     leaves = jax.tree_util.tree_leaves(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves[:3])
+
+
+STUDENT_1STEP = os.path.join(REPO, "artifacts", "vreg1b_gt03_ema")
+STUDENT_2STEP = os.path.join(REPO, "artifacts", "vreg2b_gt03_ema")
+
+
+@pytest.mark.parametrize("path,grid", [
+    (STUDENT_1STEP, [739]),
+    (STUDENT_2STEP, [739, 259]),
+])
+def test_student_artifacts_self_describe(path, grid):
+    """The committed serving students carry their deployment grid and full
+    architecture: inference/evaluate pick up everything with no flags."""
+    if not os.path.isdir(path):
+        pytest.skip("student artifact missing (pre-export tree)")
+    import json
+    assert ckpt.detect_variant(path) == "small"
+    assert ckpt.load_prediction_type(path) == "v_prediction"
+    with open(os.path.join(path, "student_timesteps.json")) as f:
+        assert json.load(f)["timesteps"] == grid
+    params = ckpt.load_inference_params(path)
+    n = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    assert n == 18_008_035
